@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Headline benchmark: yolo-fastest-1.1 images/sec/chip at 320x320.
+
+Protocol:
+  1. Parity gate — the parity-mode pipeline must reproduce the C reference's
+     golden detections on the 320x320 fixture (classes + int-cast boxes
+     exact).  A perf number from a wrong model is meaningless.
+  2. Throughput — fast mode (bf16 activations, fp32 MXU accumulation),
+     device-resident uint8 input, full pixels-to-boxes pipeline (letterbox +
+     131-layer forward + YOLO decode + NMS).  Timed as N dispatches with one
+     trailing sync so the ~30 ms axon-tunnel RTT isn't billed per batch;
+     batch size swept and the best img/s reported.
+
+Baseline: the C reference (conv-v6 build, this container's CPU) measured at
+320x320: 847 ms / 20 inferences = 23.6 img/s (see BASELINE.md; the published
+i5-1155G7 number is 14.8 img/s at 640x448).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CFG = "/root/reference/yolo-fastest-1.1.cfg"
+WEIGHTS = "/root/reference/yolo-fastest-1.1.weights"
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+BASELINE_IMG_S = 23.6          # reference conv-v6 @320x320 on this host CPU
+SIZE = 320
+BATCHES = (128, 256, 512)
+ITERS = 30
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def parity_gate():
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
+
+    net = Net.load(CFG, WEIGHTS, mode="parity")
+    bgr = bmp_load(os.path.join(FIXTURES, "test320.bmp"))
+    dets = net.detect(bgr)
+    golden = []
+    with open(os.path.join(FIXTURES, "golden_boxes_320x320.txt")) as f:
+        for line in f:
+            score = float(line.split("score:")[1].split(",")[0])
+            cat = int(line.split("category:")[1].split(",")[0])
+            rect = [int(v) for v in line.split("(")[1].split(")")[0].split()]
+            golden.append((cat, score, rect))
+    assert len(dets) == len(golden), (dets, golden)
+    for d, (cat, score, rect) in zip(dets, golden):
+        assert d.class_id == cat, (d, cat)
+        assert abs(d.score - score) < 5e-3, (d, score)
+        assert [int(d.x1), int(d.y1), int(d.x2), int(d.y2)] == rect, (d, rect)
+    log("parity gate: %d golden detections exact" % len(golden))
+
+
+def throughput():
+    import jax
+    import numpy as np
+    from ffcnn_tpu import Net
+
+    import jax.numpy as jnp
+
+    net = Net.load(CFG, WEIGHTS, mode="fast")
+    best = (0.0, 0)
+    rng = np.random.RandomState(0)
+    for b in BATCHES:
+        batch = rng.randint(0, 255, (b, SIZE, SIZE, 3)).astype(np.uint8)
+        bj = jnp.asarray(batch)                 # one-time host->HBM transfer
+        res = net.detect_device(bj)             # compile
+        jax.block_until_ready(res)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            res = net.detect_device(bj)
+        jax.block_until_ready(res)
+        dt = (time.perf_counter() - t0) / ITERS
+        ips = b / dt
+        log("batch %4d: %7.2f ms/batch  %8.0f img/s" % (b, dt * 1000, ips))
+        if ips > best[0]:
+            best = (ips, b)
+    return best
+
+
+def main():
+    parity_gate()
+    ips, batch = throughput()
+    import jax
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "yolo-fastest-1.1 320x320 pixels-to-boxes throughput",
+        "value": round(ips, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / BASELINE_IMG_S, 1),
+        "batch": batch,
+        "mode": "fast(bf16+fp32acc)",
+        "device": str(dev.device_kind),
+        "parity": "golden detections exact (parity mode)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""``ffcnn`` command-line demo — the reference main() (ffcnn.c:552-593)
+rebuilt on the TPU pipeline.
+
+    ffcnn detect [image.bmp] [-n ITERS] [--cfg FILE] [--weights FILE] \
+                 [--mode fast|parity] [-o out.bmp]
+    ffcnn dump   [--cfg FILE] [--width W] [--height H]
+    ffcnn bench  [--batch N] [--size S] ...
+
+Output format (scores, categories, int-cast rects, drawn rectangles, timing
+line) matches the reference demo so the two are diffable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+DEFAULT_CFG = "/root/reference/yolo-fastest-1.1.cfg"
+DEFAULT_WEIGHTS = "/root/reference/yolo-fastest-1.1.weights"
+
+
+def _add_model_args(p):
+    p.add_argument("--cfg", default=DEFAULT_CFG)
+    p.add_argument("--weights", default=DEFAULT_WEIGHTS)
+    p.add_argument("--mode", choices=("fast", "parity"), default="parity")
+
+
+def cmd_detect(args) -> int:
+    from . import Net
+    from .imageio.bmp import bmp_load, bmp_save, draw_rectangle
+
+    bgr = bmp_load(args.image)
+    net = Net.load(args.cfg, args.weights, bgr.shape[1], bgr.shape[0],
+                   mode=args.mode)
+    if args.dump:
+        sys.stdout.write(net.dump())
+    t0 = time.perf_counter()
+    for _ in range(args.n):
+        dets = net.detect(bgr)
+    ms = (time.perf_counter() - t0) * 1000
+    print("%d times inference: %d ms" % (args.n, int(ms)))
+    for d in dets:
+        print("score: %.2f, category: %2d, rect: (%3d %3d %3d %3d)"
+              % (d.score, d.class_id, int(d.x1), int(d.y1),
+                 int(d.x2), int(d.y2)))
+        draw_rectangle(bgr, int(d.x1), int(d.y1), int(d.x2), int(d.y2),
+                       0, 255, 0)
+    bmp_save(args.output, bgr)
+    return 0
+
+
+def cmd_dump(args) -> int:
+    from .darknet import dump, parse_cfg
+    ir = parse_cfg(args.cfg, args.width, args.height)
+    sys.stdout.write(dump(ir))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from . import Net
+
+    net = Net.load(args.cfg, args.weights, args.size, args.size,
+                   mode=args.mode)
+    batch = np.random.randint(0, 255, (args.batch, args.size, args.size, 3),
+                              np.uint8)
+    bj = jnp.asarray(batch)
+    res = net.detect_device(np.asarray(batch))
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        res = net.detect_device(batch)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / args.iters
+    print("batch %d @%dx%d %s: %.2f ms/batch, %.0f img/s"
+          % (args.batch, args.size, args.size, args.mode, dt * 1000,
+             args.batch / dt))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ffcnn", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pd = sub.add_parser("detect", help="detect objects in a BMP image")
+    pd.add_argument("image", nargs="?", default="/root/reference/test.bmp")
+    pd.add_argument("-n", type=int, default=1, help="inference iterations")
+    pd.add_argument("-o", "--output", default="out.bmp")
+    pd.add_argument("--dump", action="store_true",
+                    help="print the layer table first (like the C demo)")
+    _add_model_args(pd)
+
+    pp = sub.add_parser("dump", help="print the net_dump layer table")
+    pp.add_argument("--cfg", default=DEFAULT_CFG)
+    pp.add_argument("--width", type=int, default=0)
+    pp.add_argument("--height", type=int, default=0)
+
+    pb = sub.add_parser("bench", help="throughput micro-benchmark")
+    pb.add_argument("--batch", type=int, default=256)
+    pb.add_argument("--size", type=int, default=320)
+    pb.add_argument("--iters", type=int, default=10)
+    _add_model_args(pb)
+    pb.set_defaults(mode="fast")
+
+    args = ap.parse_args(argv)
+    return {"detect": cmd_detect, "dump": cmd_dump,
+            "bench": cmd_bench}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

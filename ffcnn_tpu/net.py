@@ -1,0 +1,203 @@
+"""ffcnn-shaped public API: ``Net.load(cfg, weights)`` → ``net.detect(image)``.
+
+Mirrors the five-function C API (ffcnn.h:48-52) on top of the TPU pipeline:
+
+    net_load    → Net.load            (parse cfg, fold BN, params to device)
+    net_input   → fused into detect   (on-device letterbox, ffcnn.c:259-289)
+    net_forward → fused into detect   (one jitted pixels-to-boxes program)
+    net_dump    → Net.dump            (byte-identical layer table)
+    net_free    → garbage collection
+
+Where the reference runs one image through 131 sequential C calls, detect()
+traces the whole graph — preprocess, conv stack, YOLO decode, NMS — into a
+single XLA program per (batch, image-size) bucket and runs it batched.
+
+Modes:
+  * ``parity``: float32 with HIGHEST conv precision — detections match the C
+    reference within float tolerance; used by tests and parity checks.
+  * ``fast``: bfloat16 activations/weights with float32 MXU accumulation —
+    the production path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .darknet import cfg as cfg_mod
+from .darknet import weights as weights_mod
+from .darknet.ir import LayerType, NetIR
+from .graph.build import forward_features, params_to_pytree
+from .ops.nms import NMSResult, nms
+from .ops.preprocess import letterbox, letterbox_params
+from .ops.yolo import concat_heads, decode_head
+
+# Demo defaults (ffcnn.c:556-557)
+DEFAULT_MEAN = (0.0, 0.0, 0.0)
+DEFAULT_NORM = (1 / 255.0, 1 / 255.0, 1 / 255.0)
+NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
+
+
+@dataclasses.dataclass(frozen=True)
+class Detection:
+    """One detection in original-image pixel coords (reference BBOX,
+    ffcnn.h:29-32)."""
+    score: float
+    class_id: int
+    x1: float
+    y1: float
+    x2: float
+    y2: float
+
+
+class Net:
+    def __init__(self, ir: NetIR, params: Dict, *, mode: str = "fast",
+                 topk: int = 128):
+        if mode not in ("fast", "parity"):
+            raise ValueError(f"mode must be 'fast' or 'parity', got {mode!r}")
+        self.ir = ir
+        self.mode = mode
+        self.topk = topk
+        self.params = params_to_pytree(params)
+        self._pipelines: Dict[tuple, object] = {}
+        self._forwards: Dict[tuple, object] = {}
+        self.timeused: Dict[str, float] = {}
+        if mode == "parity":
+            self._dtype = jnp.float32
+            self._precision = jax.lax.Precision.HIGHEST
+        else:
+            self._dtype = jnp.bfloat16
+            self._precision = None
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def load(cls, cfg_path: str, weights_path: Optional[str] = None,
+             input_w: int = 0, input_h: int = 0, *, mode: str = "fast",
+             topk: int = 128, allow_missing_weights: bool = False) -> "Net":
+        """Parse cfg + weights.  ``input_w/h`` override the [net] dims with
+        ALIGN(dim, 32) exactly like net_load (ffcnn.c:133-134)."""
+        ir = cfg_mod.parse_cfg(cfg_path, input_w, input_h)
+        if weights_path is None:
+            if not allow_missing_weights:
+                raise ValueError("weights_path required "
+                                 "(or pass allow_missing_weights=True)")
+            params = weights_mod.zero_weights(ir)
+        else:
+            params, _ = weights_mod.load_weights(ir, weights_path)
+        return cls(ir, params, mode=mode, topk=topk)
+
+    # ------------------------------------------------------------ observability
+    def dump(self) -> str:
+        """net_dump-compatible layer table (ffcnn.c:522-548)."""
+        return cfg_mod.dump(self.ir)
+
+    def profile(self) -> str:
+        """net_profile-style report (ffcnn.c:550): wall ms per pipeline stage
+        accumulated across detect() calls."""
+        lines = [f"{k:>12s}: {v * 1000:8.1f} ms" for k, v in
+                 self.timeused.items()]
+        return "\n".join(lines) + ("\n" if lines else "")
+
+    # ------------------------------------------------------------- pipelines
+    def _head_layers(self):
+        return [l for l in self.ir.layers if l.type == LayerType.YOLO]
+
+    def _build_pipeline(self, img_h: int, img_w: int):
+        """Whole pixels-to-boxes program for one original-image size."""
+        ir = self.ir
+        net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
+        _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
+        heads_meta = self._head_layers()
+        dtype, precision, topk = self._dtype, self._precision, self.topk
+
+        def pipeline(params, bgr, mean, norm):
+            x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
+            feats = forward_features(ir, params, x, precision=precision)
+            decoded = concat_heads([
+                decode_head(f.astype(jnp.float32), l, net_w, net_h)
+                for f, l in zip(feats, heads_meta)])
+            return nms(decoded.boxes, decoded.scores, decoded.classes,
+                       k=topk, threshold=NMS_THRESHOLD,
+                       scale1=s1, scale2=s2)
+
+        return jax.jit(pipeline)
+
+    def _pipeline_for(self, img_h: int, img_w: int):
+        key = (img_h, img_w)
+        fn = self._pipelines.get(key)
+        if fn is None:
+            fn = self._build_pipeline(img_h, img_w)
+            self._pipelines[key] = fn
+        return fn
+
+    # ----------------------------------------------------------------- detect
+    def detect(self, images, mean=DEFAULT_MEAN, norm=DEFAULT_NORM,
+               ) -> Union[List[Detection], List[List[Detection]]]:
+        """Run detection.  ``images``: one (H, W, 3) uint8 BGR array or a
+        batch (N, H, W, 3) / sequence of same-sized arrays.  Returns a
+        Detection list (single image) or list of lists (batch)."""
+        single = isinstance(images, np.ndarray) and images.ndim == 3
+        batch = np.asarray(images)[None] if single else np.asarray(images)
+        if batch.ndim != 4 or batch.shape[-1] != 3:
+            raise ValueError(f"expected (N, H, W, 3) uint8, got {batch.shape}")
+        res = self.detect_device(batch, mean, norm)
+        out = self._to_detections(res)
+        return out[0] if single else out
+
+    def detect_device(self, batch, mean=DEFAULT_MEAN,
+                      norm=DEFAULT_NORM) -> NMSResult:
+        """Device-level entry: uint8 (N, H, W, 3) BGR (numpy or an already
+        device-resident jnp array) → NMSResult device arrays (no host sync).
+        Used by detect(), benchmarks, and serving."""
+        n, h, w, _ = batch.shape
+        fn = self._pipeline_for(h, w)
+        t0 = time.perf_counter()
+        res = fn(self.params, jnp.asarray(batch),
+                 jnp.asarray(mean, jnp.float32), jnp.asarray(norm, jnp.float32))
+        self.timeused["detect"] = self.timeused.get("detect", 0.0) + (
+            time.perf_counter() - t0)
+        return res
+
+    @staticmethod
+    def _to_detections(res: NMSResult) -> List[List[Detection]]:
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        classes = np.asarray(res.classes)
+        counts = np.asarray(res.count)
+        out: List[List[Detection]] = []
+        for i in range(boxes.shape[0]):
+            dets = []
+            for j in range(boxes.shape[1]):
+                if scores[i, j] <= 0:
+                    continue
+                dets.append(Detection(float(scores[i, j]),
+                                      int(classes[i, j]),
+                                      *map(float, boxes[i, j])))
+            assert len(dets) == counts[i]
+            out.append(dets)
+        return out
+
+    # ---------------------------------------------------------------- forward
+    def forward_raw(self, x) -> List:
+        """Raw yolo head feature maps for a preprocessed (N, H, W, C) net
+        input — the net_forward equivalent without postprocess."""
+        key = ("fwd", tuple(x.shape))
+        fn = self._forwards.get(key)
+        if fn is None:
+            ir, precision = self.ir, self._precision
+            fn = jax.jit(lambda p, xx: forward_features(
+                ir, p, xx, precision=precision))
+            self._forwards[key] = fn
+        return fn(self.params, jnp.asarray(x, self._dtype))
+
+
+def load(cfg_path: str, weights_path: Optional[str] = None, *,
+         input_w: int = 0, input_h: int = 0, mode: str = "fast",
+         **kw) -> Net:
+    """Module-level convenience mirroring ``net_load`` (ffcnn.h:48)."""
+    return Net.load(cfg_path, weights_path, input_w, input_h, mode=mode, **kw)

@@ -1,0 +1,74 @@
+"""On-device NMS under jit: top-k + masked greedy suppression.
+
+The reference (ffcnn.c:298-335) qsorts candidates by score and greedily
+suppresses later same-class boxes whose IoU — computed as
+``intersection / min(area1, area2)`` when ``min=1`` (ffcnn.c:316) — exceeds
+the threshold (strict ``>``), then rescales survivors to original-image
+coordinates by ``s1/s2``.
+
+Variable-length box lists don't exist under jit, so this runs on fixed-size
+tensors: ``lax.top_k`` over all candidates (score 0 = absent), then a
+``fori_loop`` greedy pass over the K slots with a (N, K) keep mask.  K bounds
+the number of *above-threshold* candidates, not detections; with the
+reference's 0.45 ignore threshold real frames produce tens of candidates, and
+``K`` is configurable for denser scenes.  Survivors keep their sorted order,
+so host-side output order matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray     # (N, K, 4) original-image pixel coords
+    scores: jnp.ndarray    # (N, K), 0 for empty/suppressed slots
+    classes: jnp.ndarray   # (N, K) int32
+    count: jnp.ndarray     # (N,) int32 number of valid detections
+
+
+def _iou_min(box, others):
+    """IoU with min-area denominator (ffcnn.c:308-317).  box: (..., 4);
+    others: (..., K, 4).  Degenerate 0/0 → NaN → compares False, like C."""
+    x1 = jnp.maximum(box[..., None, 0], others[..., 0])
+    y1 = jnp.maximum(box[..., None, 1], others[..., 1])
+    x2 = jnp.minimum(box[..., None, 2], others[..., 2])
+    y2 = jnp.minimum(box[..., None, 3], others[..., 3])
+    inter = jnp.where((x1 < x2) & (y1 < y2), (x2 - x1) * (y2 - y1), 0.0)
+    a1 = (box[..., 2] - box[..., 0]) * (box[..., 3] - box[..., 1])
+    a2 = (others[..., 2] - others[..., 0]) * (others[..., 3] - others[..., 1])
+    return inter / jnp.minimum(a1[..., None], a2)
+
+
+def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
+        scale1: int = 1, scale2: int = 1) -> NMSResult:
+    """boxes (N, M, 4), scores (N, M) with 0 = absent, classes (N, M)."""
+    n, m, _ = boxes.shape
+    k = min(k, m)
+    top_scores, idx = lax.top_k(scores, k)                    # sorted desc
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes, idx, axis=1)
+
+    slot = jnp.arange(k)
+
+    def body(i, keep):
+        anchor_ok = keep[:, i] & (top_scores[:, i] > 0)       # (N,)
+        iou = _iou_min(top_boxes[:, i], top_boxes)            # (N, K)
+        same_cls = top_classes == top_classes[:, i][:, None]
+        suppress = (anchor_ok[:, None] & same_cls & (slot > i)[None, :]
+                    & (iou > threshold))
+        return keep & ~suppress
+
+    keep = lax.fori_loop(0, k, body, top_scores > 0)
+
+    rescale = jnp.float32(scale1) / jnp.float32(scale2)       # ffcnn.c:327
+    out_scores = jnp.where(keep, top_scores, 0.0)
+    return NMSResult(boxes=top_boxes * rescale,
+                     scores=out_scores,
+                     classes=top_classes,
+                     count=jnp.sum(keep, axis=1).astype(jnp.int32))

@@ -1,0 +1,70 @@
+"""Vectorized YOLO head decode.
+
+Replaces the reference's per-cell scalar loop (layer_yolo_forward,
+ffcnn.c:438-474) with one batched tensor program per head.  Numerical quirks
+reproduced exactly:
+
+  * combined confidence ``1 / (1 + exp(-bs) * (1 + exp(-cs)))``
+    (ffcnn.c:451 — an approximation of sigmoid(bs)*sigmoid(cs) that the
+    reference relies on; NOT the darknet formula)
+  * ``scale_x_y`` multiplies box w/h (ffcnn.c:459-460), unlike upstream
+    darknet which applies it to x/y
+  * class = argmax with first-max tie-breaking (the C ``cs < val`` scan)
+  * candidate order = (row, col, anchor) scan order, heads in graph order
+
+Boxes below ``ignore_thres`` get score 0 (the reference simply never appends
+them, ffcnn.c:452); downstream NMS treats score-0 entries as absent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..darknet.ir import Layer
+
+
+class DecodedBoxes(NamedTuple):
+    boxes: jnp.ndarray     # (N, M, 4) x1,y1,x2,y2 in net-input pixels
+    scores: jnp.ndarray    # (N, M) confidence, 0 where below threshold
+    classes: jnp.ndarray   # (N, M) int32 argmax class
+
+
+def decode_head(feat, layer: Layer, net_w: int, net_h: int) -> DecodedBoxes:
+    """feat: (N, h, w, 3*(5+classes)) raw conv output of a yolo head."""
+    n, h, w, _ = feat.shape
+    nc = layer.class_num
+    f = feat.reshape(n, h, w, 3, 5 + nc).astype(jnp.float32)
+
+    tx, ty, tw, th = f[..., 0], f[..., 1], f[..., 2], f[..., 3]
+    bs = f[..., 4]
+    cls_scores = f[..., 5:]
+    cidx = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+    cs = jnp.max(cls_scores, axis=-1)
+
+    conf = jnp.reciprocal(1.0 + jnp.exp(-bs) * (1.0 + jnp.exp(-cs)))
+    conf = jnp.where(conf >= layer.ignore_thres, conf, 0.0)
+
+    jj = jnp.asarray(np.arange(w, dtype=np.float32))[None, None, :, None]
+    ii = jnp.asarray(np.arange(h, dtype=np.float32))[None, :, None, None]
+    sig = lambda v: jnp.reciprocal(1.0 + jnp.exp(-v))
+    cx = (jj + sig(tx)) * (net_w / w)
+    cy = (ii + sig(ty)) * (net_h / h)
+    anchors = np.asarray(layer.anchors, np.float32)          # (3, 2)
+    bw = jnp.exp(tw) * (anchors[:, 0] * layer.scale_x_y)
+    bh = jnp.exp(th) * (anchors[:, 1] * layer.scale_x_y)
+
+    boxes = jnp.stack([cx - bw * 0.5, cy - bh * 0.5,
+                       cx + bw * 0.5, cy + bh * 0.5], axis=-1)
+    m = h * w * 3
+    return DecodedBoxes(boxes.reshape(n, m, 4), conf.reshape(n, m),
+                        cidx.reshape(n, m))
+
+
+def concat_heads(heads) -> DecodedBoxes:
+    return DecodedBoxes(
+        boxes=jnp.concatenate([h.boxes for h in heads], axis=1),
+        scores=jnp.concatenate([h.scores for h in heads], axis=1),
+        classes=jnp.concatenate([h.classes for h in heads], axis=1))

@@ -1,0 +1,55 @@
+"""End-to-end golden test: full jitted pipeline vs the C reference's output
+(SURVEY.md §4c).  Runs at the stock 320x320 input to keep CPU compile time
+reasonable; the 640x448 geometry is covered by the oracle test + TPU bench."""
+import numpy as np
+import pytest
+
+import conftest
+from ffcnn_tpu import Net
+from ffcnn_tpu.imageio.bmp import bmp_load
+
+
+def _golden(name):
+    out = []
+    with open(conftest.fixture_path(name)) as f:
+        for line in f:
+            score = float(line.split("score:")[1].split(",")[0])
+            cat = int(line.split("category:")[1].split(",")[0])
+            rect = [int(v) for v in line.split("(")[1].split(")")[0].split()]
+            out.append((cat, score, *rect))
+    return out
+
+
+@pytest.fixture(scope="module")
+def net320(ref_cfg, ref_weights):
+    return Net.load(ref_cfg, ref_weights, mode="parity")
+
+
+def test_golden_detections_320(net320):
+    bgr = bmp_load(conftest.fixture_path("test320.bmp"))
+    dets = net320.detect(bgr)
+    golden = _golden("golden_boxes_320x320.txt")
+    assert len(dets) == len(golden)
+    for d, want in zip(dets, golden):
+        assert d.class_id == want[0]
+        assert abs(d.score - want[1]) < 5e-3
+        assert (int(d.x1), int(d.y1), int(d.x2), int(d.y2)) == want[2:]
+
+
+def test_batch_consistency(net320):
+    """Batched detect must equal per-image detect."""
+    bgr = bmp_load(conftest.fixture_path("test320.bmp"))
+    flipped = bgr[:, ::-1].copy()
+    batch_dets = net320.detect(np.stack([bgr, flipped]))
+    single0 = net320.detect(bgr)
+    single1 = net320.detect(flipped)
+    assert [(d.class_id, round(d.score, 5)) for d in batch_dets[0]] == \
+           [(d.class_id, round(d.score, 5)) for d in single0]
+    assert [(d.class_id, round(d.score, 5)) for d in batch_dets[1]] == \
+           [(d.class_id, round(d.score, 5)) for d in single1]
+
+
+def test_dump_matches_reference_format(net320):
+    text = net320.dump()
+    assert text.startswith("layer   type  filters")
+    assert "yolo class_num: 80" in text

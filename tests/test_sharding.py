@@ -1,0 +1,125 @@
+"""Multi-device sharding on the simulated 8-device CPU mesh (SURVEY.md §4d).
+
+Uses a small synthetic darknet graph (all 8 layer types) so compile time
+stays low; numerical equivalence is checked against the single-device path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import conftest
+from ffcnn_tpu.darknet import parse_cfg
+from ffcnn_tpu.darknet.weights import zero_weights
+from ffcnn_tpu.graph.build import params_to_pytree
+from ffcnn_tpu.parallel import build_sharded_pipeline, make_mesh
+
+TINY_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+groups=8
+activation=leaky
+
+[shortcut]
+from=-2
+activation=linear
+
+[maxpool]
+size=3
+stride=1
+
+[route]
+layers=-1,-3
+
+[upsample]
+stride=2
+
+[dropout]
+probability=.2
+
+[convolutional]
+filters=255
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask = 0,1,2
+anchors = 10,14, 23,27, 37,58, 81,82, 135,169, 344,319
+classes=80
+ignore_thresh=.45
+"""
+
+
+def _tiny_net():
+    ir = parse_cfg(TINY_CFG, is_path=False)
+    params = zero_weights(ir)
+    rng = np.random.RandomState(0)
+    for p in params.values():
+        p.weights[...] = rng.randn(*p.weights.shape).astype(np.float32) * 0.3
+        p.bias[...] = rng.randn(*p.bias.shape).astype(np.float32) * 0.1
+    return ir, params_to_pytree(params)
+
+
+def test_8_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_matches_single_device():
+    ir, params = _tiny_net()
+    rng = np.random.RandomState(1)
+    batch = rng.randint(0, 255, (8, 48, 64, 3)).astype(np.uint8)
+
+    mesh = make_mesh()
+    fn, place = build_sharded_pipeline(ir, mesh, 48, 64, dtype=jnp.float32)
+    res = fn(place(params), jnp.asarray(batch),
+             jnp.zeros(3), jnp.full(3, 1 / 255.0))
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    fn1, place1 = build_sharded_pipeline(ir, mesh1, 48, 64, dtype=jnp.float32)
+    res1 = fn1(place1(params), jnp.asarray(batch),
+               jnp.zeros(3), jnp.full(3, 1 / 255.0))
+
+    np.testing.assert_allclose(np.asarray(res.scores),
+                               np.asarray(res1.scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.boxes),
+                               np.asarray(res1.boxes), atol=1e-3)
+    assert np.array_equal(np.asarray(res.count), np.asarray(res1.count))
+
+
+def test_tp_filter_sharding_compiles_and_matches():
+    """model-axis filter sharding: XLA must insert the collectives and
+    produce identical results."""
+    ir, params = _tiny_net()
+    rng = np.random.RandomState(2)
+    batch = rng.randint(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+
+    mesh = make_mesh(model_parallel=2)
+    fn, place = build_sharded_pipeline(ir, mesh, 64, 64, dtype=jnp.float32,
+                                       shard_filters=True)
+    res = fn(place(params), jnp.asarray(batch),
+             jnp.zeros(3), jnp.full(3, 1 / 255.0))
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    fn1, place1 = build_sharded_pipeline(ir, mesh1, 64, 64, dtype=jnp.float32)
+    res1 = fn1(place1(params), jnp.asarray(batch),
+               jnp.zeros(3), jnp.full(3, 1 / 255.0))
+    np.testing.assert_allclose(np.asarray(res.scores),
+                               np.asarray(res1.scores), atol=1e-5)
