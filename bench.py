@@ -66,14 +66,22 @@ def throughput():
     import jax
     import numpy as np
     from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
 
     import jax.numpy as jnp
 
     net = Net.load(CFG, WEIGHTS, mode="fast")
     best = (0.0, 0)
+    # Real image content (the reference's own benchmark loops test.bmp,
+    # readme.txt:114): random-noise frames decode to hundreds of spurious
+    # above-threshold boxes per image, which is not a detection workload.
+    # Per-image noise keeps frames distinct.
+    img = bmp_load(os.path.join(FIXTURES, "test320.bmp"))
     rng = np.random.RandomState(0)
     for b in BATCHES:
-        batch = rng.randint(0, 255, (b, SIZE, SIZE, 3)).astype(np.uint8)
+        batch = np.broadcast_to(img, (b,) + img.shape).copy()
+        noise = rng.randint(0, 8, batch.shape, dtype=np.uint8)
+        batch = np.clip(batch.astype(np.int16) + noise, 0, 255).astype(np.uint8)
         bj = jnp.asarray(batch)                 # one-time host->HBM transfer
         res = net.detect_device(bj)             # compile
         jax.block_until_ready(res)

@@ -23,12 +23,47 @@ from ..ops.conv import conv2d_fused
 from ..ops.pool import avgpool2d, maxpool2d, upsample_nearest
 
 
+def fold_input_transform(ir: NetIR, params: Dict, mean, norm) -> Dict:
+    """Fold the letterbox normalize + BGR→RGB swap into the first conv.
+
+    net_input computes ``in[c] = (bgr[2-c] - mean[c]) * norm[c]``
+    (ffcnn.c:280-283); since the first conv is linear this is equivalent to
+    running it directly on the raw BGR bytes with
+
+        w'[ky,kx,cb,o] = w[ky,kx,2-cb,o] * norm[2-cb]
+        bias'[o]       = bias[o] - scale[o] * Σ w[ky,kx,c,o] * norm[c] * mean[c]
+
+    which lets the fast path skip the whole float preprocess pass — the
+    uint8→float cast fuses into the conv-1 XLA fusion.  Exact-zero letterbox
+    padding is preserved only for mean == 0 (the demo default, ffcnn.c:556);
+    callers with a nonzero mean must use the unfolded pipeline.
+
+    Requires the first layer to be a dense conv over all input channels."""
+    first = ir.layers[0]
+    if first.type != LayerType.CONV or first.groups != 1:
+        raise ValueError("first layer must be a dense conv to fold input")
+    p = dict(params[0])
+    w = jnp.asarray(p["weights"])                       # (fs, fs, 3, fn)
+    scale, bias = jnp.asarray(p["scale"]), jnp.asarray(p["bias"])
+    mean = jnp.asarray(mean, w.dtype)
+    norm = jnp.asarray(norm, w.dtype)
+    p["weights"] = w[:, :, ::-1, :] * norm[::-1][None, None, :, None]
+    s = jnp.sum(w * (norm * mean)[None, None, :, None], axis=(0, 1, 2))
+    p["bias"] = bias - scale * s
+    out = dict(params)
+    out[0] = p
+    return out
+
+
 def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
-                     accum_dtype=jnp.float32) -> List:
+                     accum_dtype=jnp.float32, input_dtype=None) -> List:
     """Run the graph body.  ``x``: (N, H, W, C) net input.  Returns the raw
     (N, h, w, 3*(5+classes)) feature map feeding each yolo layer, in graph
     order.  ``params`` is a pytree {layer_index: {weights, scale, bias}} (or
-    FoldedConvParams)."""
+    FoldedConvParams).  A non-float ``x`` (raw uint8 pixels on the folded
+    fast path) is cast to ``input_dtype``; the cast fuses into conv-1."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(input_dtype or jnp.float32)
     nlayers = len(ir.layers)
     blobs: List[Optional[jnp.ndarray]] = [None] * (nlayers + 1)
     blobs[0] = x

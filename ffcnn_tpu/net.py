@@ -32,9 +32,11 @@ import numpy as np
 from .darknet import cfg as cfg_mod
 from .darknet import weights as weights_mod
 from .darknet.ir import LayerType, NetIR
-from .graph.build import forward_features, params_to_pytree
+from .darknet.ir import LayerType as _LT
+from .graph.build import (fold_input_transform, forward_features,
+                          params_to_pytree)
 from .ops.nms import NMSResult, nms
-from .ops.preprocess import letterbox, letterbox_params
+from .ops.preprocess import letterbox, letterbox_params, letterbox_uint8
 from .ops.yolo import concat_heads, decode_head
 
 # Demo defaults (ffcnn.c:556-557)
@@ -107,8 +109,19 @@ class Net:
     def _head_layers(self):
         return [l for l in self.ir.layers if l.type == LayerType.YOLO]
 
-    def _build_pipeline(self, img_h: int, img_w: int):
-        """Whole pixels-to-boxes program for one original-image size."""
+    def _can_fold_input(self) -> bool:
+        first = self.ir.layers[0]
+        return (self.mode == "fast" and first.type == _LT.CONV
+                and first.groups == 1)
+
+    def _build_pipeline(self, img_h: int, img_w: int, folded: bool):
+        """Whole pixels-to-boxes program for one original-image size.
+
+        ``folded``: normalize/BGR-swap live in conv-1's weights
+        (fold_input_transform) and preprocess is a uint8 resize+pad — the
+        fast path for the demo-default mean=0 (exact only then, see
+        fold_input_transform).  Otherwise the full float letterbox runs with
+        runtime mean/norm."""
         ir = self.ir
         net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
         _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
@@ -116,10 +129,15 @@ class Net:
         dtype, precision, topk = self._dtype, self._precision, self.topk
 
         def pipeline(params, bgr, mean, norm):
-            x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
-            feats = forward_features(ir, params, x, precision=precision)
+            if folded:
+                params = fold_input_transform(ir, params, mean, norm)
+                x = letterbox_uint8(bgr, net_w, net_h)
+            else:
+                x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
+            feats = forward_features(ir, params, x, precision=precision,
+                                     input_dtype=dtype)
             decoded = concat_heads([
-                decode_head(f.astype(jnp.float32), l, net_w, net_h)
+                decode_head(f, l, net_w, net_h)
                 for f, l in zip(feats, heads_meta)])
             return nms(decoded.boxes, decoded.scores, decoded.classes,
                        k=topk, threshold=NMS_THRESHOLD,
@@ -127,11 +145,13 @@ class Net:
 
         return jax.jit(pipeline)
 
-    def _pipeline_for(self, img_h: int, img_w: int):
-        key = (img_h, img_w)
+    def _pipeline_for(self, img_h: int, img_w: int, mean, norm):
+        folded = (self._can_fold_input()
+                  and tuple(np.asarray(mean).tolist()) == DEFAULT_MEAN)
+        key = (img_h, img_w, folded)
         fn = self._pipelines.get(key)
         if fn is None:
-            fn = self._build_pipeline(img_h, img_w)
+            fn = self._build_pipeline(img_h, img_w, folded)
             self._pipelines[key] = fn
         return fn
 
@@ -155,7 +175,7 @@ class Net:
         device-resident jnp array) → NMSResult device arrays (no host sync).
         Used by detect(), benchmarks, and serving."""
         n, h, w, _ = batch.shape
-        fn = self._pipeline_for(h, w)
+        fn = self._pipeline_for(h, w, mean, norm)
         t0 = time.perf_counter()
         res = fn(self.params, jnp.asarray(batch),
                  jnp.asarray(mean, jnp.float32), jnp.asarray(norm, jnp.float32))

@@ -45,15 +45,8 @@ def _iou_min(box, others):
     return inter / jnp.minimum(a1[..., None], a2)
 
 
-def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
-        scale1: int = 1, scale2: int = 1) -> NMSResult:
-    """boxes (N, M, 4), scores (N, M) with 0 = absent, classes (N, M)."""
-    n, m, _ = boxes.shape
-    k = min(k, m)
-    top_scores, idx = lax.top_k(scores, k)                    # sorted desc
-    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-    top_classes = jnp.take_along_axis(classes, idx, axis=1)
-
+def _keep_mask_scan(top_boxes, top_scores, top_classes, k, threshold):
+    """Greedy scan as a fori_loop of XLA programs (portable, K dispatches)."""
     slot = jnp.arange(k)
 
     def body(i, keep):
@@ -64,7 +57,77 @@ def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
                     & (iou > threshold))
         return keep & ~suppress
 
-    keep = lax.fori_loop(0, k, body, top_scores > 0)
+    return lax.fori_loop(0, k, body, top_scores > 0)
+
+
+def _keep_mask_sweep(top_boxes, top_scores, top_classes, k, threshold):
+    """Greedy NMS by fixpoint iteration — EXACTLY the sequential result.
+
+    The greedy recurrence ``keep[j] = score[j]>0 ∧ ¬∃i<j: keep[i] ∧ sup[i,j]``
+    has a unique solution (strong induction on j), so iterating the whole-
+    vector map to a fixpoint yields the sequential answer.  Each sweep fixes
+    at least one more prefix position, so the while_loop is bounded by K
+    sweeps and in practice converges in a handful; each sweep is one batched
+    (K)×(K,K) masked matvec — no per-candidate dispatch chain.
+    """
+    iou = _iou_min(top_boxes, top_boxes[:, None])             # (N, K, K)
+    same_cls = top_classes[:, :, None] == top_classes[:, None, :]
+    tri = jnp.tril(jnp.ones((k, k), jnp.bool_), k=-1)         # i < j (col j)
+    sup = (iou > threshold) & same_cls & tri.T[None]          # (N, K, K)
+    alive0 = (top_scores > 0)
+
+    def sweep(keep):
+        # Broadcast-any rather than dot_general: a batched matvec inside
+        # while_loop wedges the Mosaic/XLA TPU compile in this stack.
+        suppressed = jnp.any(keep[:, :, None] & sup, axis=1)
+        return alive0 & ~suppressed
+
+    def cond(state):
+        keep, done = state
+        return ~done
+
+    def body(state):
+        keep, _ = state
+        new = sweep(keep)
+        return new, jnp.array_equal(new, keep)
+
+    keep, _ = lax.while_loop(cond, body, (alive0, jnp.asarray(False)))
+    return keep
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
+        scale1: int = 1, scale2: int = 1, impl: str = "auto") -> NMSResult:
+    """boxes (N, M, 4), scores (N, M) with 0 = absent, classes (N, M).
+
+    ``impl`` selects how the greedy recurrence is evaluated — all three give
+    bit-identical keep masks:
+      * 'sweep' (default): fixpoint sweeps of batched masked matvecs
+      * 'scan':   K-step fori_loop (one dispatch per candidate)
+      * 'pallas': whole scan inside one on-chip kernel (kernels/nms_pallas.py)
+    """
+    n, m, _ = boxes.shape
+    k = min(k, m)
+    top_scores, idx = lax.top_k(scores, k)                    # sorted desc
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes, idx, axis=1)
+
+    if impl == "auto":
+        impl = "sweep"
+    if impl == "pallas":
+        from ..kernels.nms_pallas import nms_keep_mask
+        keep = nms_keep_mask(top_boxes, top_scores, top_classes,
+                             k=k, threshold=threshold,
+                             interpret=not _on_tpu()) > 0.5
+    elif impl == "sweep":
+        keep = _keep_mask_sweep(top_boxes, top_scores, top_classes, k,
+                                threshold)
+    else:
+        keep = _keep_mask_scan(top_boxes, top_scores, top_classes, k,
+                               threshold)
 
     rescale = jnp.float32(scale1) / jnp.float32(scale2)       # ffcnn.c:327
     out_scores = jnp.where(keep, top_scores, 0.0)

@@ -33,16 +33,25 @@ class DecodedBoxes(NamedTuple):
 
 
 def decode_head(feat, layer: Layer, net_w: int, net_h: int) -> DecodedBoxes:
-    """feat: (N, h, w, 3*(5+classes)) raw conv output of a yolo head."""
+    """feat: (N, h, w, 3*(5+classes)) raw conv output of a yolo head.
+
+    The head is sliced BEFORE casting: the box/confidence channels (tiny
+    slices) are lifted to f32 for the exp/sigmoid math, while the class-score
+    argmax/max runs in the head's native dtype (comparisons are exact in any
+    float format) — so the bulk (N,h,w,255) tensor is read once in bf16
+    instead of being materialized as an f32 copy first."""
     n, h, w, _ = feat.shape
     nc = layer.class_num
-    f = feat.reshape(n, h, w, 3, 5 + nc).astype(jnp.float32)
+    f = feat.reshape(n, h, w, 3, 5 + nc)
 
-    tx, ty, tw, th = f[..., 0], f[..., 1], f[..., 2], f[..., 3]
-    bs = f[..., 4]
+    tx = f[..., 0].astype(jnp.float32)
+    ty = f[..., 1].astype(jnp.float32)
+    tw = f[..., 2].astype(jnp.float32)
+    th = f[..., 3].astype(jnp.float32)
+    bs = f[..., 4].astype(jnp.float32)
     cls_scores = f[..., 5:]
     cidx = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
-    cs = jnp.max(cls_scores, axis=-1)
+    cs = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
 
     conf = jnp.reciprocal(1.0 + jnp.exp(-bs) * (1.0 + jnp.exp(-cs)))
     conf = jnp.where(conf >= layer.ignore_thres, conf, 0.0)
