@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..darknet.ir import LayerType, NetIR
@@ -69,42 +70,46 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     blobs[0] = x
     heads: List[jnp.ndarray] = []
 
-    for li, layer in enumerate(ir.layers):
-        inp = blobs[li]
+    def run_layer(li, layer, inp):
         t = layer.type
         if t == LayerType.CONV:
             p = params[li]
             w, scale, bias = (p["weights"], p["scale"], p["bias"]) \
                 if isinstance(p, dict) else (p.weights, p.scale, p.bias)
-            out = conv2d_fused(inp, jnp.asarray(w), jnp.asarray(scale),
-                               jnp.asarray(bias), stride=layer.stride,
-                               pad=layer.pad, groups=layer.groups,
-                               act=layer.activation, precision=precision,
-                               accum_dtype=accum_dtype)
-        elif t == LayerType.MAXPOOL:
-            out = maxpool2d(inp, layer.fs, layer.stride)
-        elif t == LayerType.AVGPOOL:
-            out = avgpool2d(inp, layer.fs, layer.stride)
-        elif t == LayerType.UPSAMPLE:
-            out = upsample_nearest(inp, layer.stride)
-        elif t == LayerType.DROPOUT:
-            out = inp                      # inference no-op (ffcnn.c:412-416)
-        elif t == LayerType.SHORTCUT:
-            out = activate(inp + blobs[layer.depends[0] + 1],
-                           layer.activation)
-        elif t == LayerType.ROUTE:
+            return conv2d_fused(inp, jnp.asarray(w), jnp.asarray(scale),
+                                jnp.asarray(bias), stride=layer.stride,
+                                pad=layer.pad, groups=layer.groups,
+                                act=layer.activation, precision=precision,
+                                accum_dtype=accum_dtype)
+        if t == LayerType.MAXPOOL:
+            return maxpool2d(inp, layer.fs, layer.stride)
+        if t == LayerType.AVGPOOL:
+            return avgpool2d(inp, layer.fs, layer.stride)
+        if t == LayerType.UPSAMPLE:
+            return upsample_nearest(inp, layer.stride)
+        if t == LayerType.DROPOUT:
+            return inp                     # inference no-op (ffcnn.c:412-416)
+        if t == LayerType.SHORTCUT:
+            return activate(inp + blobs[layer.depends[0] + 1],
+                            layer.activation)
+        if t == LayerType.ROUTE:
             parts = [blobs[d + 1] for d in layer.depends]
             out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
             if layer.route_groups > 1:     # yolov4-tiny extension
                 gc = out.shape[-1] // layer.route_groups
                 out = out[..., layer.route_group_id * gc:
                           (layer.route_group_id + 1) * gc]
-        elif t == LayerType.YOLO:
+            return out
+        if t == LayerType.YOLO:
             heads.append(inp)
-            out = None                     # yolo produces no blob (ffcnn.c:489)
-        else:
-            raise ValueError(f"unsupported layer type {t}")
-        blobs[li + 1] = out
+            return None                    # yolo produces no blob (ffcnn.c:489)
+        raise ValueError(f"unsupported layer type {t}")
+
+    for li, layer in enumerate(ir.layers):
+        # named_scope tags every op with its layer, so HLO fusions and
+        # profiler rows map back to the net_dump table.
+        with jax.named_scope(f"L{li:03d}_{layer.type.name.lower()}"):
+            blobs[li + 1] = run_layer(li, layer, blobs[li])
     return heads
 
 

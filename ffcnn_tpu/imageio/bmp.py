@@ -14,6 +14,11 @@ import struct
 
 import numpy as np
 
+try:                                  # native codec (native/bmp_codec.c)
+    from .. import _ffcnn_native as _native
+except ImportError:                   # pure-numpy fallback below
+    _native = None
+
 _HEADER_FMT = "<HIHHIIiiHHIIIIII"  # BITMAPFILEHEADER + BITMAPINFOHEADER packed
 _HEADER_BYTES = 54
 
@@ -24,6 +29,9 @@ def _align4(x: int) -> int:
 
 def bmp_load(path: str) -> np.ndarray:
     """Load a 24-bit BMP as a top-down (H, W, 3) uint8 BGR array."""
+    if _native is not None:
+        ba, h, w = _native.bmp_load(path)
+        return np.frombuffer(ba, np.uint8).reshape(h, w, 3)
     with open(path, "rb") as f:
         raw = f.read()
     fields = struct.unpack_from(_HEADER_FMT, raw, 0)
@@ -46,6 +54,10 @@ def bmp_load(path: str) -> np.ndarray:
 
 def bmp_save(path: str, img: np.ndarray) -> None:
     """Save a top-down (H, W, 3) uint8 BGR array as a bottom-up 24-bit BMP."""
+    if _native is not None:
+        h, w = img.shape[:2]
+        _native.bmp_save(path, np.ascontiguousarray(img).tobytes(), h, w)
+        return
     h, w = img.shape[:2]
     stride = _align4(w * 3)
     rows = np.zeros((h, stride), np.uint8)

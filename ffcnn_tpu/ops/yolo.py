@@ -20,10 +20,25 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..darknet.ir import Layer
+
+
+def _argmax_max(x):
+    """(first-max argmax, max) over the last axis, reducing in the head's
+    native dtype (comparisons are exact in any float format; first-max
+    tie-break matches the reference's ``cs < val`` scan, ffcnn.c:447-450).
+
+    NOTE(axon): faster single-reduction formulations (packed uint32 keys via
+    bitcast, and max → min-index-where-equal) compile but WEDGE this image's
+    TPU executor — any fusion combining a last-axis reduce with bit ops or a
+    broadcast of another reduce's result livelocks the chip until the tunnel
+    resets.  Keep the plain variadic argmax until the backend is fixed."""
+    return (jnp.argmax(x, axis=-1).astype(jnp.int32),
+            jnp.max(x, axis=-1).astype(jnp.float32))
 
 
 class DecodedBoxes(NamedTuple):
@@ -50,8 +65,7 @@ def decode_head(feat, layer: Layer, net_w: int, net_h: int) -> DecodedBoxes:
     th = f[..., 3].astype(jnp.float32)
     bs = f[..., 4].astype(jnp.float32)
     cls_scores = f[..., 5:]
-    cidx = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
-    cs = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
+    cidx, cs = _argmax_max(cls_scores)
 
     conf = jnp.reciprocal(1.0 + jnp.exp(-bs) * (1.0 + jnp.exp(-cs)))
     conf = jnp.where(conf >= layer.ignore_thres, conf, 0.0)

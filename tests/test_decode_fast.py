@@ -1,0 +1,100 @@
+"""Fast-path decode pieces: the two-reduction argmax and the folded-conv1
+preprocess must agree with the straightforward formulations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ffcnn_tpu.ops.yolo import _argmax_max
+
+
+def test_argmax_max_matches_numpy_incl_ties():
+    rng = np.random.RandomState(0)
+    x = rng.randn(500, 80).astype(np.float32)
+    x[5, 10] = x[5, 3] = x[5].max() + 1.0     # tie -> first index wins
+    x[7] = 0.0                                 # all-equal row -> index 0
+    for dtype in (jnp.float32, jnp.bfloat16):
+        xj = jnp.asarray(x, dtype)
+        ci, cs = jax.jit(_argmax_max)(xj)
+        xn = np.asarray(xj, np.float32)
+        np.testing.assert_array_equal(np.asarray(ci), np.argmax(xn, -1))
+        np.testing.assert_allclose(np.asarray(cs), np.max(xn, -1))
+
+
+def test_folded_conv1_matches_letterbox_path():
+    """uint8 + folded conv-1 == float letterbox + plain conv-1 (f32)."""
+    from ffcnn_tpu.darknet.ir import (Activation, BlobShape, Layer, LayerType,
+                                      NetIR)
+    from ffcnn_tpu.graph.build import (fold_input_transform, forward_features,
+                                       params_to_pytree)
+    from ffcnn_tpu.ops.preprocess import letterbox, letterbox_uint8
+
+    rng = np.random.RandomState(1)
+    ir = NetIR(
+        layers=(Layer(index=0, type=LayerType.CONV, fn=8, fs=3, stride=2,
+                      groups=1, pad=1, batchnorm=True,
+                      activation=int(Activation.LEAKY)),),
+        blobs=(BlobShape(64, 64, 3), BlobShape(32, 32, 8)),
+    )
+    params = params_to_pytree({0: type("P", (), {
+        "weights": rng.randn(3, 3, 3, 8).astype(np.float32) * 0.3,
+        "scale": rng.rand(8).astype(np.float32) + 0.5,
+        "bias": rng.randn(8).astype(np.float32) * 0.1,
+    })()})
+    bgr = rng.randint(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    mean = jnp.zeros(3, jnp.float32)
+    norm = jnp.full(3, 1 / 255.0, jnp.float32)
+
+    x_ref = letterbox(jnp.asarray(bgr), 64, 64, mean, norm)
+    ref = forward_features(ir, params, x_ref)  # no yolo layer: use last blob
+    # forward_features returns heads; with no yolo layer recompute directly:
+    from ffcnn_tpu.ops.conv import conv2d_fused
+    p = params[0]
+    ref = conv2d_fused(x_ref, p["weights"], p["scale"], p["bias"], stride=2,
+                       pad=1, groups=1, act=int(Activation.LEAKY))
+
+    folded = fold_input_transform(ir, params, mean, norm)
+    x_u8 = letterbox_uint8(jnp.asarray(bgr), 64, 64)
+    pf = folded[0]
+    got = conv2d_fused(x_u8.astype(jnp.float32), pf["weights"], pf["scale"],
+                       pf["bias"], stride=2, pad=1, groups=1,
+                       act=int(Activation.LEAKY))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_conv1_nonzero_mean():
+    """The bias correction term handles nonzero mean (interior pixels)."""
+    from ffcnn_tpu.darknet.ir import (Activation, BlobShape, Layer, LayerType,
+                                      NetIR)
+    from ffcnn_tpu.graph.build import fold_input_transform, params_to_pytree
+    from ffcnn_tpu.ops.conv import conv2d_fused
+    from ffcnn_tpu.ops.preprocess import letterbox
+
+    rng = np.random.RandomState(2)
+    ir = NetIR(
+        layers=(Layer(index=0, type=LayerType.CONV, fn=4, fs=1, stride=1,
+                      groups=1, pad=0, batchnorm=True,
+                      activation=int(Activation.LINEAR)),),
+        blobs=(BlobShape(16, 16, 3), BlobShape(16, 16, 4)),
+    )
+    params = params_to_pytree({0: type("P", (), {
+        "weights": rng.randn(1, 1, 3, 4).astype(np.float32),
+        "scale": rng.rand(4).astype(np.float32) + 0.5,
+        "bias": rng.randn(4).astype(np.float32),
+    })()})
+    bgr = rng.randint(0, 256, (1, 16, 16, 3), dtype=np.uint8)
+    mean = jnp.asarray([10.0, 20.0, 30.0])
+    norm = jnp.asarray([1 / 255.0, 1 / 250.0, 1 / 245.0])
+
+    x_ref = letterbox(jnp.asarray(bgr), 16, 16, mean, norm)
+    p = params[0]
+    ref = conv2d_fused(x_ref, p["weights"], p["scale"], p["bias"], stride=1,
+                       pad=0, groups=1, act=0)
+    folded = fold_input_transform(ir, params, mean, norm)
+    pf = folded[0]
+    got = conv2d_fused(jnp.asarray(bgr, jnp.float32), pf["weights"],
+                       pf["scale"], pf["bias"], stride=1, pad=0, groups=1,
+                       act=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,84 @@
+"""Native codec (native/bmp_codec.c) vs the pure-numpy reference paths."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_BMP = "/root/reference/test.bmp"
+
+
+@pytest.fixture(scope="module")
+def native():
+    r = subprocess.run([sys.executable, os.path.join(REPO, "native", "build.py")],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"native build unavailable: {r.stderr[-200:]}")
+    import importlib
+    import ffcnn_tpu
+    importlib.reload(ffcnn_tpu)
+    from ffcnn_tpu import _ffcnn_native
+    return _ffcnn_native
+
+
+def _py_load(path):
+    """Force the pure-python decode path regardless of the native module."""
+    import ffcnn_tpu.imageio.bmp as bmp
+    saved = bmp._native
+    bmp._native = None
+    try:
+        return bmp.bmp_load(path)
+    finally:
+        bmp._native = saved
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BMP), reason="no reference image")
+def test_load_matches_python(native):
+    ba, h, w = native.bmp_load(REF_BMP)
+    img = np.frombuffer(ba, np.uint8).reshape(h, w, 3)
+    np.testing.assert_array_equal(img, _py_load(REF_BMP))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BMP), reason="no reference image")
+def test_save_roundtrip(native, tmp_path):
+    img = _py_load(REF_BMP)
+    out = str(tmp_path / "out.bmp")
+    native.bmp_save(out, img.tobytes(), *img.shape[:2])
+    np.testing.assert_array_equal(_py_load(out), img)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BMP), reason="no reference image")
+def test_load_batch(native):
+    from ffcnn_tpu.imageio.loader import load_batch
+    batch = load_batch([REF_BMP] * 5, threads=3)
+    ref = _py_load(REF_BMP)
+    assert batch.shape == (5,) + ref.shape
+    for i in range(5):
+        np.testing.assert_array_equal(batch[i], ref)
+
+
+def test_batch_dim_mismatch(native, tmp_path):
+    rng = np.random.RandomState(0)
+    import ffcnn_tpu.imageio.bmp as bmp
+    a = str(tmp_path / "a.bmp")
+    b = str(tmp_path / "b.bmp")
+    bmp.bmp_save(a, rng.randint(0, 255, (8, 6, 3), dtype=np.uint8))
+    bmp.bmp_save(b, rng.randint(0, 255, (10, 6, 3), dtype=np.uint8))
+    from ffcnn_tpu.imageio.loader import load_batch
+    with pytest.raises(IOError):
+        load_batch([a, b])
+
+
+def test_draw_rectangle_matches_python(native):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (40, 60, 3), dtype=np.uint8)
+    from ffcnn_tpu.imageio.bmp import draw_rectangle
+    py = img.copy()
+    draw_rectangle(py, -5, 10, 70, 35, 200, 100, 50)   # clips at borders
+    buf = bytearray(img.tobytes())
+    native.draw_rectangle(buf, 40, 60, -5, 10, 70, 35, 200, 100, 50)
+    got = np.frombuffer(buf, np.uint8).reshape(40, 60, 3)
+    np.testing.assert_array_equal(got, py)
