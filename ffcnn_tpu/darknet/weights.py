@@ -115,6 +115,41 @@ def load_weights(ir: NetIR, path_or_bytes, *, allow_mismatch: bool = False,
     return params, header
 
 
+def synth_weights_bytes(ir: NetIR, seed: int = 0, scale: float = 0.05,
+                        obj_bias: float = 0.0) -> bytes:
+    """Synthesize a VALID darknet .weights file for graph *ir* (random
+    gaussian params).  Dev/test utility: lets every model family be exercised
+    end-to-end (oracle vs TPU) without shipping real trained weights.
+
+    ``obj_bias`` is added to the objectness channel (4::5+classes) of each
+    conv feeding a yolo layer so synthetic nets emit above-threshold boxes."""
+    rng = np.random.RandomState(seed)
+    head_convs = {}
+    for li, layer in enumerate(ir.layers):
+        if layer.type == LayerType.YOLO and li > 0:
+            src = ir.layers[li - 1]
+            if src.type == LayerType.CONV:
+                head_convs[li - 1] = layer.class_num
+    out = [struct.pack("<iiiQ", 0, 2, 5, 0)]
+    for layer in ir.layers:
+        if layer.type != LayerType.CONV:
+            continue
+        fn = layer.fn
+        icg = ir.blobs[layer.index].c // layer.groups
+        bias = rng.normal(0, scale, fn).astype(np.float32)
+        if layer.index in head_convs:
+            nc = head_convs[layer.index]
+            bias[4::5 + nc] += np.float32(obj_bias)
+        out.append(bias.tobytes())
+        if layer.batchnorm:
+            out.append((rng.rand(fn).astype(np.float32) * 0.5 + 0.75).tobytes())
+            out.append(rng.normal(0, scale, fn).astype(np.float32).tobytes())
+            out.append((rng.rand(fn).astype(np.float32) * 0.5 + 0.5).tobytes())
+        out.append(rng.normal(0, scale, fn * icg * layer.fs * layer.fs)
+                   .astype(np.float32).tobytes())
+    return b"".join(out)
+
+
 def zero_weights(ir: NetIR) -> Dict[int, FoldedConvParams]:
     """All-zero params with scale=1 — mirrors the reference's behavior when
     the weights file is absent (calloc'd buffer, scale written as 1.0 at

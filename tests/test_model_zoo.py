@@ -1,0 +1,87 @@
+"""Model-family breadth: every cfg in models/ must run pixels-to-boxes
+through the TPU pipeline and agree with the NumPy oracle — yolov3-tiny
+(plain backbone, stride-1 maxpool, non-BN heads), yolov4-tiny (route
+groups/group_id, scale_x_y), and ffcnn-micro (every layer type incl.
+avgpool + mish).  Weights are synthesized (valid darknet files), so this
+checks graph construction + numerics, not trained accuracy."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from ffcnn_tpu import Net
+from ffcnn_tpu.darknet import parse_cfg
+from ffcnn_tpu.darknet.weights import load_weights, synth_weights_bytes
+from ffcnn_tpu.oracle import numpy_ref
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFGS = sorted(glob.glob(os.path.join(REPO, "models", "*.cfg")))
+SIZES = {"yolov3-tiny": 160, "yolov4-tiny": 160, "ffcnn-micro": 64}
+
+
+@pytest.mark.parametrize("cfg_path", CFGS, ids=[
+    os.path.splitext(os.path.basename(p))[0] for p in CFGS])
+def test_zoo_oracle_parity(cfg_path):
+    name = os.path.splitext(os.path.basename(cfg_path))[0]
+    size = SIZES.get(name, 160)
+    ir = parse_cfg(cfg_path, size, size)
+    blob = synth_weights_bytes(ir, seed=42, obj_bias=2.0)
+    params, header = load_weights(ir, blob)
+    assert header.minor == 2
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (size, size, 3), dtype=np.uint8)
+
+    oracle_boxes = numpy_ref.detect(ir, params, img)
+    assert oracle_boxes, "synthetic net should emit at least one box"
+
+    # Synthetic nets emit dense candidates; size K to the full candidate set
+    # so the fixed-capacity top-k never truncates what the oracle keeps.
+    from ffcnn_tpu.darknet.ir import LayerType
+    m_total = sum(3 * ir.blobs[l.index].w * ir.blobs[l.index].h
+                  for l in ir.layers if l.type == LayerType.YOLO)
+    net = Net(ir, params, mode="parity", topk=m_total)
+    dets = net.detect(img)
+    assert len(dets) == len(oracle_boxes), (
+        f"{name}: {len(dets)} vs oracle {len(oracle_boxes)}")
+    got = sorted(dets, key=lambda d: -d.score)
+    want = sorted(oracle_boxes, key=lambda b: -b[1])
+    for d, (cls, score, x1, y1, x2, y2) in zip(got, want):
+        assert d.class_id == cls
+        np.testing.assert_allclose(
+            [d.score, d.x1, d.y1, d.x2, d.y2],
+            [score, x1, y1, x2, y2], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("cfg_path", CFGS, ids=[
+    os.path.splitext(os.path.basename(p))[0] for p in CFGS])
+def test_zoo_fast_mode_runs(cfg_path):
+    """Fast (bf16 + folded preprocess) mode compiles and produces plausible
+    boxes for every family — same objects as parity modulo bf16 wiggle is
+    checked on the flagship in test_end2end; here just exercise the path."""
+    name = os.path.splitext(os.path.basename(cfg_path))[0]
+    size = SIZES.get(name, 160)
+    ir = parse_cfg(cfg_path, size, size)
+    params, _ = load_weights(ir, synth_weights_bytes(ir, seed=42, obj_bias=2.0))
+    net = Net(ir, params, mode="fast")
+    rng = np.random.RandomState(0)
+    dets = net.detect(rng.randint(0, 256, (size, size, 3), dtype=np.uint8))
+    for d in dets:
+        assert 0 <= d.class_id < 80
+        assert 0 < d.score <= 1.0
+
+
+def test_zoo_dump_tables():
+    """net_dump renders for every family (shape inference sanity)."""
+    for cfg_path in CFGS:
+        ir = parse_cfg(cfg_path)
+        table = __import__("ffcnn_tpu.darknet.cfg", fromlist=["dump"]).dump(ir)
+        assert str(len(ir.layers) - 1) in table
+        # all non-yolo blobs have positive dims
+        for li, l in enumerate(ir.layers):
+            from ffcnn_tpu.darknet.ir import LayerType
+            if l.type != LayerType.YOLO:
+                b = ir.blobs[li + 1]
+                assert b.w > 0 and b.h > 0 and b.c > 0, (cfg_path, li)
