@@ -21,6 +21,13 @@ scale/bias epilogues are the load-time-folded BatchNorm (ffcnn.c:229-232).
 
 Stride-2 blocks (no residual) subsample the dw stage exactly like the
 reference's centered s2 window (pad=1 → taps at 2y+dy-1).
+
+STATUS — experimental, NOT on the default path.  Mosaic VMEM tiles are
+(sublane, 128)-lane-tiled, so channels-last blocks with C in 8..48 inflate
+up to 16x and blow the 16 MB scoped-vmem budget at real batch sizes (see
+docs/PERF_NOTES.md).  Superseded by the channels-first variant
+(csblock_pallas.py), which compiles and is correct but still loses to XLA's
+conv path on this stack; both are kept as documented negative results.
 """
 
 from __future__ import annotations
