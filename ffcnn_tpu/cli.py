@@ -82,6 +82,40 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    from . import Net
+
+    net = Net.load(args.cfg, args.weights, args.size, args.size,
+                   mode=args.mode)
+    rep = net.profile_layers(
+        batch=np.zeros((args.batch, args.size, args.size, 3), np.uint8),
+        iters=args.iters)
+    sys.stdout.write(rep.render())
+    return 0
+
+
+def cmd_batch(args) -> int:
+    """Batch detection over many BMPs via the native threaded loader."""
+    from . import Net
+    from .imageio.loader import load_batch
+
+    batch = load_batch(args.images, args.threads)
+    net = Net.load(args.cfg, args.weights, batch.shape[2], batch.shape[1],
+                   mode=args.mode, cache_dir=args.cache_dir)
+    t0 = time.perf_counter()
+    results = net.detect(batch)
+    ms = (time.perf_counter() - t0) * 1000
+    print("%d images: %d ms (%.1f img/s)"
+          % (len(results), int(ms), len(results) / (ms / 1000)))
+    for path, dets in zip(args.images, results):
+        print(path)
+        for d in dets:
+            print("  score: %.2f, category: %2d, rect: (%3d %3d %3d %3d)"
+                  % (d.score, d.class_id, int(d.x1), int(d.y1),
+                     int(d.x2), int(d.y2)))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ffcnn", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -106,9 +140,26 @@ def main(argv=None) -> int:
     _add_model_args(pb)
     pb.set_defaults(mode="fast")
 
+    pf = sub.add_parser("profile",
+                        help="per-layer device-time profile (net_profile)")
+    pf.add_argument("--batch", type=int, default=64)
+    pf.add_argument("--size", type=int, default=320)
+    pf.add_argument("--iters", type=int, default=10)
+    _add_model_args(pf)
+    pf.set_defaults(mode="fast")
+
+    pm = sub.add_parser("batch", help="batch detection over many BMPs")
+    pm.add_argument("images", nargs="+")
+    pm.add_argument("--threads", type=int, default=0,
+                    help="loader threads (0 = all cores)")
+    pm.add_argument("--cache-dir", default=None,
+                    help="folded-params npz cache directory")
+    _add_model_args(pm)
+    pm.set_defaults(mode="fast")
+
     args = ap.parse_args(argv)
-    return {"detect": cmd_detect, "dump": cmd_dump,
-            "bench": cmd_bench}[args.cmd](args)
+    return {"detect": cmd_detect, "dump": cmd_dump, "bench": cmd_bench,
+            "profile": cmd_profile, "batch": cmd_batch}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -80,15 +80,22 @@ class Net:
     @classmethod
     def load(cls, cfg_path: str, weights_path: Optional[str] = None,
              input_w: int = 0, input_h: int = 0, *, mode: str = "fast",
-             topk: int = 128, allow_missing_weights: bool = False) -> "Net":
+             topk: int = 128, allow_missing_weights: bool = False,
+             cache_dir: Optional[str] = None) -> "Net":
         """Parse cfg + weights.  ``input_w/h`` override the [net] dims with
-        ALIGN(dim, 32) exactly like net_load (ffcnn.c:133-134)."""
+        ALIGN(dim, 32) exactly like net_load (ffcnn.c:133-134).
+        ``cache_dir`` enables the folded-params npz cache (darknet/cache.py),
+        keyed by the cfg+weights content hash."""
         ir = cfg_mod.parse_cfg(cfg_path, input_w, input_h)
         if weights_path is None:
             if not allow_missing_weights:
                 raise ValueError("weights_path required "
                                  "(or pass allow_missing_weights=True)")
             params = weights_mod.zero_weights(ir)
+        elif cache_dir is not None:
+            from .darknet.cache import load_or_build
+            params, _ = load_or_build(ir, cfg_path, weights_path, cache_dir,
+                                      input_w, input_h)
         else:
             params, _ = weights_mod.load_weights(ir, weights_path)
         return cls(ir, params, mode=mode, topk=topk)
@@ -104,6 +111,17 @@ class Net:
         lines = [f"{k:>12s}: {v * 1000:8.1f} ms" for k, v in
                  self.timeused.items()]
         return "\n".join(lines) + ("\n" if lines else "")
+
+    def profile_layers(self, batch=None, iters: int = 10):
+        """Hardware per-layer profile (profiling.py): runs ``iters`` jitted
+        steps under jax.profiler and attributes device time to layers via
+        their named scopes.  Returns a ProfileReport (use .render())."""
+        from .profiling import profile_layers as _pl
+        if batch is None:
+            net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
+            batch = np.zeros((8, net_h, net_w, 3), np.uint8)
+        batch = jnp.asarray(batch)
+        return _pl(lambda: self.detect_device(batch), self.ir, iters)
 
     # ------------------------------------------------------------- pipelines
     def _head_layers(self):

@@ -1,0 +1,133 @@
+"""Per-layer / per-layer-type device profiling — the TPU-native analog of
+``ENABLE_NET_PROFILE`` + ``net_profile()`` (ffcnn.c:33,494-510,550).
+
+The reference brackets each layer dispatch with a monotonic clock and
+accumulates ms per layer *type*.  Under jit the whole graph is one program,
+so instead every op is tagged at trace time with its layer via
+``jax.named_scope`` (graph/build.py) and a ``jax.profiler`` trace is parsed
+to attribute hardware execution time back to layers — giving both the
+per-layer table (richer than the reference) and the reference-style
+per-type summary.  Works on TPU and CPU device tracks.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import glob
+import gzip
+import json
+import os
+import re
+import shutil
+import tempfile
+from typing import Dict, List, Optional, Tuple
+
+from .darknet.ir import LAYER_TYPE_NAMES, LayerType, NetIR
+
+_SCOPE_RE = re.compile(r"L(\d\d\d)_[a-z]+")
+
+
+@dataclasses.dataclass
+class LayerProfile:
+    index: int
+    type_name: str
+    desc: str
+    us_per_step: float
+
+
+@dataclasses.dataclass
+class ProfileReport:
+    layers: List[LayerProfile]
+    by_type: Dict[str, float]          # type name -> us/step
+    other_us: float                    # preprocess/decode/NMS/etc
+    total_us: float
+    iters: int
+
+    def render(self) -> str:
+        """net_profile-style text report (per layer type, like
+        NET.timeused[] ffcnn.h:45), followed by the per-layer table."""
+        lines = ["profile (device us per step, %d steps averaged):"
+                 % self.iters]
+        for name, us in sorted(self.by_type.items(), key=lambda kv: -kv[1]):
+            lines.append("  %-10s %10.1f us  %5.1f%%"
+                         % (name, us, 100 * us / max(1e-9, self.total_us)))
+        lines.append("  %-10s %10.1f us  %5.1f%%"
+                     % ("(pre/post)", self.other_us,
+                        100 * self.other_us / max(1e-9, self.total_us)))
+        lines.append("  %-10s %10.1f us" % ("total", self.total_us))
+        lines.append("")
+        lines.append("%4s %-9s %-40s %10s" % ("idx", "type", "layer",
+                                              "us/step"))
+        for lp in self.layers:
+            if lp.us_per_step > 0:
+                lines.append("%4d %-9s %-40s %10.1f"
+                             % (lp.index, lp.type_name, lp.desc,
+                                lp.us_per_step))
+        return "\n".join(lines) + "\n"
+
+
+def _layer_desc(ir: NetIR, li: int) -> str:
+    layer = ir.layers[li]
+    ib, ob = ir.blobs[li], ir.blobs[li + 1]
+    if layer.type == LayerType.CONV:
+        kind = ("dw%dx%d" % (layer.fs, layer.fs) if layer.groups > 1
+                else ("pw1x1" if layer.fs == 1 else "conv%d" % layer.fs))
+        return "%s s%d %3dx%3dx%3d->%3dx%3dx%3d" % (
+            kind, layer.stride, ib.w, ib.h, ib.c, ob.w, ob.h, ob.c)
+    return "%s ->%dx%dx%d" % (LAYER_TYPE_NAMES[layer.type], ob.w, ob.h, ob.c)
+
+
+def _parse_trace(trace_dir: str, iters: int) -> Tuple[Dict[int, float], float]:
+    paths = glob.glob(os.path.join(trace_dir,
+                                   "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise RuntimeError("profiler produced no trace")
+    with gzip.open(paths[0]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, n in pids.items()
+           if "TPU" in n or n.startswith("/device:")}
+    agg: Dict[int, float] = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev:
+            continue
+        if e["name"].startswith("jit_"):
+            continue                        # parent span double-counts
+        m = _SCOPE_RE.search(json.dumps(e.get("args") or {}) + e["name"])
+        agg[int(m.group(1)) if m else -1] += e.get("dur", 0)
+    return ({k: v / iters for k, v in agg.items() if k >= 0},
+            agg.get(-1, 0) / iters)
+
+
+def profile_layers(run_step, ir: NetIR, iters: int = 10,
+                   trace_dir: Optional[str] = None) -> ProfileReport:
+    """Profile ``run_step()`` (a zero-arg callable dispatching one jitted
+    step; the caller supplies warmed-up args via closure) and attribute
+    device time to layers.  Returns a :class:`ProfileReport`."""
+    import jax
+
+    jax.block_until_ready(run_step())      # warm-up / compile
+    tmp = trace_dir or tempfile.mkdtemp(prefix="ffcnn_profile_")
+    try:
+        with jax.profiler.trace(tmp):
+            r = None
+            for _ in range(iters):
+                r = run_step()
+            jax.block_until_ready(r)
+        per_layer, other = _parse_trace(tmp, iters)
+    finally:
+        if trace_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    layers = [LayerProfile(li, LAYER_TYPE_NAMES[ir.layers[li].type],
+                           _layer_desc(ir, li), per_layer.get(li, 0.0))
+              for li in range(len(ir.layers))]
+    by_type: Dict[str, float] = collections.Counter()
+    for lp in layers:
+        by_type[lp.type_name] += lp.us_per_step
+    total = sum(per_layer.values()) + other
+    return ProfileReport(layers=layers, by_type=dict(by_type),
+                         other_us=other, total_us=total, iters=iters)

@@ -1,0 +1,99 @@
+"""Params cache, profiling report plumbing, and the CLI batch/dump paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ffcnn_tpu.darknet import parse_cfg
+from ffcnn_tpu.darknet.cache import cache_key, load_or_build
+from ffcnn_tpu.darknet.weights import load_weights, synth_weights_bytes
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MICRO = os.path.join(REPO, "models", "ffcnn-micro.cfg")
+
+
+@pytest.fixture()
+def micro_files(tmp_path):
+    ir = parse_cfg(MICRO)
+    wpath = str(tmp_path / "micro.weights")
+    with open(wpath, "wb") as f:
+        f.write(synth_weights_bytes(ir, seed=7, obj_bias=2.0))
+    return MICRO, wpath
+
+
+def test_cache_roundtrip(micro_files, tmp_path):
+    cfg, wpath = micro_files
+    ir = parse_cfg(cfg)
+    cache_dir = str(tmp_path / "cache")
+    p1, cached1 = load_or_build(ir, cfg, wpath, cache_dir)
+    assert not cached1
+    p2, cached2 = load_or_build(ir, cfg, wpath, cache_dir)
+    assert cached2
+    direct, _ = load_weights(ir, wpath)
+    assert set(p2) == set(direct)
+    for li in direct:
+        np.testing.assert_array_equal(p2[li].weights, direct[li].weights)
+        np.testing.assert_array_equal(p2[li].scale, direct[li].scale)
+        np.testing.assert_array_equal(p2[li].bias, direct[li].bias)
+
+
+def test_cache_key_changes_with_content(micro_files, tmp_path):
+    cfg, wpath = micro_files
+    k1 = cache_key(cfg, wpath)
+    w2 = str(tmp_path / "other.weights")
+    ir = parse_cfg(cfg)
+    with open(w2, "wb") as f:
+        f.write(synth_weights_bytes(ir, seed=8))
+    assert cache_key(cfg, w2) != k1
+    assert cache_key(cfg, wpath, 64, 64) != k1
+
+
+def test_net_load_with_cache(micro_files, tmp_path):
+    from ffcnn_tpu import Net
+    cfg, wpath = micro_files
+    cache_dir = str(tmp_path / "cache")
+    net = Net.load(cfg, wpath, mode="parity", cache_dir=cache_dir)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    d1 = net.detect(img)
+    net2 = Net.load(cfg, wpath, mode="parity", cache_dir=cache_dir)
+    d2 = net2.detect(img)
+    assert [repr(d) for d in d1] == [repr(d) for d in d2]
+    assert any(f.startswith("ffcnn-params-") for f in os.listdir(cache_dir))
+
+
+def test_cli_dump_and_batch(micro_files, tmp_path, capsys):
+    from ffcnn_tpu import cli
+    from ffcnn_tpu.imageio.bmp import bmp_save
+    cfg, wpath = micro_files
+
+    assert cli.main(["dump", "--cfg", cfg]) == 0
+    out = capsys.readouterr().out
+    assert "yolo" in out and "conv" in out
+
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"img{i}.bmp")
+        bmp_save(p, rng.randint(0, 256, (64, 64, 3), dtype=np.uint8))
+        paths.append(p)
+    rc = cli.main(["batch", *paths, "--cfg", cfg, "--weights", wpath,
+                   "--mode", "parity",
+                   "--cache-dir", str(tmp_path / "cache")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3 images" in out
+    assert out.count("img") >= 3
+
+
+def test_profile_report_renders(micro_files):
+    """profile_layers runs and renders on any backend (attribution quality
+    depends on the backend's trace; smoke only on CPU)."""
+    from ffcnn_tpu import Net
+    cfg, wpath = micro_files
+    net = Net.load(cfg, wpath, mode="parity")
+    rep = net.profile_layers(iters=2)
+    text = rep.render()
+    assert "total" in text and "profile" in text
+    assert len(rep.layers) == len(net.ir.layers)
