@@ -1,0 +1,138 @@
+"""Minimal inference service over the TPU pipeline.
+
+The reference is a library + demo binary; for production deployment the
+TPU build adds a thin HTTP serving layer (stdlib-only) with the health
+checking SURVEY.md §5 calls for:
+
+    GET  /healthz          -> 200 "ok" once the model is compiled and a
+                              probe inference has run
+    GET  /dump             -> the net_dump layer table
+    POST /detect           -> body: one 24-bit BMP; response: JSON
+                              {"detections": [{score, class_id, box}, ...]}
+
+Requests are decoded with the native codec, batched per-request (the
+pipeline itself is batched; a fronting load balancer can shard across
+processes/chips — each process pins one chip, DP across chips is the
+parallel/dp.py pipeline).  Stdlib ThreadingHTTPServer: decode/encode happen
+on request threads while device dispatch is serialized by the GIL-released
+jit call.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class DetectorService:
+    def __init__(self, net, probe_hw=(64, 64)):
+        self.net = net
+        self._ready = False
+        self._lock = threading.Lock()
+        self._probe_hw = probe_hw
+
+    def warmup(self):
+        """Compile + run one probe so /healthz reflects real readiness."""
+        h, w = self._probe_hw
+        self.net.detect(np.zeros((h, w, 3), np.uint8))
+        self._ready = True
+
+    @property
+    def ready(self) -> bool:
+        return self._ready
+
+    def detect_bmp_bytes(self, raw: bytes):
+        from .imageio import bmp as bmp_mod
+        # decode via the in-memory framing the codec module defines
+        import struct
+        fields = struct.unpack_from(bmp_mod._HEADER_FMT, raw, 0)
+        magic, width, height, bits = (fields[0], fields[6], fields[7],
+                                      fields[9])
+        if magic != 0x4D42 or bits != 24:
+            raise ValueError("not a 24-bit BMP")
+        flip = height > 0
+        height = abs(height)
+        stride = bmp_mod._align4(width * 3)
+        data = np.frombuffer(raw, np.uint8, count=stride * height,
+                             offset=bmp_mod._HEADER_BYTES)
+        img = data.reshape(height, stride)[:, :width * 3].reshape(
+            height, width, 3)
+        img = img[::-1].copy() if flip else img.copy()
+        with self._lock:                      # one dispatch at a time
+            dets = self.net.detect(img)
+        return [{"score": round(d.score, 4), "class_id": d.class_id,
+                 "box": [round(v, 2) for v in (d.x1, d.y1, d.x2, d.y2)]}
+                for d in dets]
+
+
+def make_server(service: DetectorService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):           # quiet; structured logs upstream
+            pass
+
+        def _send(self, code: int, body: bytes,
+                  ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                if service.ready:
+                    self._send(200, b"ok", "text/plain")
+                else:
+                    self._send(503, b"warming up", "text/plain")
+            elif self.path == "/dump":
+                self._send(200, service.net.dump().encode(), "text/plain")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(n)
+            try:
+                dets = service.detect_bmp_bytes(raw)
+            except Exception as e:  # noqa: BLE001 — surface as 400
+                self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            self._send(200, json.dumps({"detections": dets}).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    import argparse
+    ap = argparse.ArgumentParser(prog="ffcnn-serve")
+    ap.add_argument("--cfg", default="/root/reference/yolo-fastest-1.1.cfg")
+    ap.add_argument("--weights",
+                    default="/root/reference/yolo-fastest-1.1.weights")
+    ap.add_argument("--mode", choices=("fast", "parity"), default="fast")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8600)
+    ap.add_argument("--cache-dir", default=None)
+    args = ap.parse_args(argv)
+
+    from . import Net
+    net = Net.load(args.cfg, args.weights, mode=args.mode,
+                   cache_dir=args.cache_dir)
+    service = DetectorService(net)
+    server = make_server(service, args.host, args.port)
+    threading.Thread(target=service.warmup, daemon=True).start()
+    print(f"serving on http://{args.host}:{server.server_address[1]}")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
