@@ -145,7 +145,10 @@ def synth_weights_bytes(ir: NetIR, seed: int = 0, scale: float = 0.05,
             out.append((rng.rand(fn).astype(np.float32) * 0.5 + 0.75).tobytes())
             out.append(rng.normal(0, scale, fn).astype(np.float32).tobytes())
             out.append((rng.rand(fn).astype(np.float32) * 0.5 + 0.5).tobytes())
-        out.append(rng.normal(0, scale, fn * icg * layer.fs * layer.fs)
+        # He-style fan-in scaling keeps activations O(1) at any depth —
+        # synthetic nets must not blow up through 100+ layer graphs.
+        wstd = 0.7 / np.sqrt(layer.fs * layer.fs * icg)
+        out.append(rng.normal(0, wstd, fn * icg * layer.fs * layer.fs)
                    .astype(np.float32).tobytes())
     return b"".join(out)
 

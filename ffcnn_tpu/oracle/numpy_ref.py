@@ -133,15 +133,15 @@ def yolo_decode(feat: np.ndarray, layer, net_w: int, net_h: int) -> List[Tuple]:
                 bs = v[4]
                 cindex = int(np.argmax(v[5:]))   # first-max, like the C scan
                 cs = v[5 + cindex]
-                conf = 1.0 / (1.0 + math.exp(-bs) * (1.0 + math.exp(-cs)))
+                conf = 1.0 / (1.0 + np.exp(np.float64(-bs)) * (1.0 + np.exp(np.float64(-cs))))
                 if conf >= layer.ignore_thres:
                     tx, ty, tw, th = v[0], v[1], v[2], v[3]
-                    sx = 1.0 / (1.0 + math.exp(-tx))
-                    sy = 1.0 / (1.0 + math.exp(-ty))
+                    sx = 1.0 / (1.0 + np.exp(np.float64(-tx)))
+                    sy = 1.0 / (1.0 + np.exp(np.float64(-ty)))
                     cx = (j + sx) * net_w / w
                     cy = (i + sy) * net_h / h
-                    bw = math.exp(tw) * layer.anchors[k][0] * layer.scale_x_y
-                    bh = math.exp(th) * layer.anchors[k][1] * layer.scale_x_y
+                    bw = np.exp(np.float64(tw)) * layer.anchors[k][0] * layer.scale_x_y
+                    bh = np.exp(np.float64(th)) * layer.anchors[k][1] * layer.scale_x_y
                     boxes.append((cindex, np.float32(conf),
                                   cx - bw * 0.5, cy - bh * 0.5,
                                   cx + bw * 0.5, cy + bh * 0.5))

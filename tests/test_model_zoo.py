@@ -18,7 +18,8 @@ from ffcnn_tpu.oracle import numpy_ref
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFGS = sorted(glob.glob(os.path.join(REPO, "models", "*.cfg")))
-SIZES = {"yolov3-tiny": 160, "yolov4-tiny": 160, "ffcnn-micro": 64}
+SIZES = {"yolov3-tiny": 160, "yolov4-tiny": 160, "ffcnn-micro": 64,
+         "yolov3": 128}
 
 
 @pytest.mark.parametrize("cfg_path", CFGS, ids=[
@@ -46,8 +47,12 @@ def test_zoo_oracle_parity(cfg_path):
     dets = net.detect(img)
     assert len(dets) == len(oracle_boxes), (
         f"{name}: {len(dets)} vs oracle {len(oracle_boxes)}")
-    got = sorted(dets, key=lambda d: -d.score)
-    want = sorted(oracle_boxes, key=lambda b: -b[1])
+    # scores can tie (exactly or within float noise) between candidates;
+    # pair by coarse score then geometry so ordering noise can't mispair
+    got = sorted(dets, key=lambda d: (-round(d.score, 3), d.class_id,
+                                      round(d.x1, 1), round(d.y1, 1)))
+    want = sorted(oracle_boxes, key=lambda b: (-round(float(b[1]), 3), b[0],
+                                               round(b[2], 1), round(b[3], 1)))
     for d, (cls, score, x1, y1, x2, y2) in zip(got, want):
         assert d.class_id == cls
         np.testing.assert_allclose(
