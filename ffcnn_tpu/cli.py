@@ -13,6 +13,7 @@ line) matches the reference demo so the two are diffable.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -117,6 +118,9 @@ def cmd_batch(args) -> int:
 
 
 def main(argv=None) -> int:
+    if os.environ.get("FFCNN_NO_COMPILE_CACHE") != "1":
+        from . import enable_compile_cache
+        enable_compile_cache()
     ap = argparse.ArgumentParser(prog="ffcnn", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

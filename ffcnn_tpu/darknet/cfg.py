@@ -21,7 +21,7 @@ Reference quirks deliberately reproduced (each is visible in real cfgs):
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from .ctext import align, atof, atoi, parse_param
 from .ir import (ACTIVATION_NAMES, Activation, BlobShape, Layer, LayerType,

@@ -12,7 +12,7 @@ same convention XLA uses.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

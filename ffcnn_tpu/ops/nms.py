@@ -17,7 +17,7 @@ so host-side output order matches the reference exactly.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple
 
 import jax

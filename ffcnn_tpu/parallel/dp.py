@@ -10,8 +10,8 @@ collectives; results come back batch-sharded, and optional tensor parallelism
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from ..graph.build import forward_features
 from ..ops.nms import nms
 from ..ops.preprocess import letterbox, letterbox_params
 from ..ops.yolo import concat_heads, decode_head
-from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, replicated
+from .mesh import MODEL_AXIS, batch_sharding, replicated
 
 
 def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,

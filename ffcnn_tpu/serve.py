@@ -20,11 +20,10 @@ jit call.
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+
 
 import numpy as np
 
@@ -113,6 +112,10 @@ def make_server(service: DetectorService, host: str = "127.0.0.1",
 
 def main(argv=None) -> int:
     import argparse
+    import os
+    if os.environ.get("FFCNN_NO_COMPILE_CACHE") != "1":
+        from . import enable_compile_cache
+        enable_compile_cache()
     ap = argparse.ArgumentParser(prog="ffcnn-serve")
     ap.add_argument("--cfg", default="/root/reference/yolo-fastest-1.1.cfg")
     ap.add_argument("--weights",
