@@ -3,12 +3,22 @@ with the capabilities of rockcarry/ffcnn.  See README.md and SURVEY.md."""
 
 import os
 
-from .net import Detection, Net, load, DEFAULT_MEAN, DEFAULT_NORM
 from .darknet import parse_cfg, dump, load_weights
 
 __version__ = "0.1.0"
 __all__ = ["Net", "Detection", "load", "parse_cfg", "dump", "load_weights",
            "DEFAULT_MEAN", "DEFAULT_NORM", "enable_compile_cache"]
+
+# net.py pulls in jax; keep it lazy (PEP 562) so host-only paths — cfg
+# parsing, `ffcnn dump`, the pure-numpy codec — never pay JAX startup.
+_NET_EXPORTS = ("Net", "Detection", "load", "DEFAULT_MEAN", "DEFAULT_NORM")
+
+
+def __getattr__(name):
+    if name in _NET_EXPORTS:
+        from . import net
+        return getattr(net, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> str:

@@ -117,10 +117,10 @@ def cmd_batch(args) -> int:
     return 0
 
 
+_JIT_COMMANDS = {"detect", "bench", "profile", "batch"}
+
+
 def main(argv=None) -> int:
-    if os.environ.get("FFCNN_NO_COMPILE_CACHE") != "1":
-        from . import enable_compile_cache
-        enable_compile_cache()
     ap = argparse.ArgumentParser(prog="ffcnn", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -162,6 +162,12 @@ def main(argv=None) -> int:
     pm.set_defaults(mode="fast")
 
     args = ap.parse_args(argv)
+    # Only device-touching commands pay JAX startup + compile-cache setup;
+    # `dump` stays a pure host-side cfg parse.
+    if args.cmd in _JIT_COMMANDS and \
+            os.environ.get("FFCNN_NO_COMPILE_CACHE") != "1":
+        from . import enable_compile_cache
+        enable_compile_cache()
     return {"detect": cmd_detect, "dump": cmd_dump, "bench": cmd_bench,
             "profile": cmd_profile, "batch": cmd_batch}[args.cmd](args)
 

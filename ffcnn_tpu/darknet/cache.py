@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 from typing import Dict, Tuple
 
 import numpy as np
@@ -22,13 +23,15 @@ from .weights import FoldedConvParams
 _VERSION = 1
 
 
-def cache_key(cfg_path: str, weights_path: str, input_w: int = 0,
-              input_h: int = 0) -> str:
+def cache_key(cfg_path: str, weights_path: str) -> str:
+    """Content hash of the cfg+weights pair.  Folded params are independent
+    of the input dimensions, so input size is deliberately NOT in the key —
+    one entry serves every detect() size bucket."""
     h = hashlib.sha256()
     for p in (cfg_path, weights_path):
         with open(p, "rb") as f:
             h.update(f.read())
-    h.update(f"v{_VERSION}:{input_w}x{input_h}".encode())
+    h.update(f"v{_VERSION}".encode())
     return h.hexdigest()[:24]
 
 
@@ -38,10 +41,20 @@ def save_params(path: str, params: Dict[int, FoldedConvParams]) -> None:
         arrays[f"w{li}"] = p.weights
         arrays[f"s{li}"] = p.scale
         arrays[f"b{li}"] = p.bias
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:          # file object: no .npz suffix games
-        np.savez(f, **arrays)
-    os.replace(tmp, path)
+    # unique temp per writer: concurrent workers sharing a cache_dir must
+    # not clobber each other's in-flight file before the atomic publish
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               prefix=os.path.basename(path) + ".")
+    try:
+        with os.fdopen(fd, "wb") as f:  # file object: no .npz suffix games
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_params(path: str) -> Dict[int, FoldedConvParams]:
@@ -58,13 +71,13 @@ def load_params(path: str) -> Dict[int, FoldedConvParams]:
 
 
 def load_or_build(ir: NetIR, cfg_path: str, weights_path: str,
-                  cache_dir: str, input_w: int = 0, input_h: int = 0,
+                  cache_dir: str,
                   ) -> Tuple[Dict[int, FoldedConvParams], bool]:
     """Return (params, was_cached).  Builds and populates the cache on miss."""
     from .weights import load_weights
 
     os.makedirs(cache_dir, exist_ok=True)
-    key = cache_key(cfg_path, weights_path, input_w, input_h)
+    key = cache_key(cfg_path, weights_path)
     path = os.path.join(cache_dir, f"ffcnn-params-{key}.npz")
     if os.path.exists(path):
         try:

@@ -27,6 +27,27 @@ def _align4(x: int) -> int:
     return (x + 3) & ~3
 
 
+def bmp_decode(raw: bytes) -> np.ndarray:
+    """Decode in-memory 24-bit BMP bytes to a top-down (H, W, 3) uint8 BGR
+    array — the one shared framing implementation (reference semantics:
+    54-byte header, bottom-up rows, ALIGN(w*3,4) stride, bfOffBits ignored,
+    bmpfile.c:42-69)."""
+    fields = struct.unpack_from(_HEADER_FMT, raw, 0)
+    magic, width, height, bitcount = fields[0], fields[6], fields[7], fields[9]
+    if magic != 0x4D42:
+        raise ValueError("not a BMP file")
+    if bitcount != 24:
+        raise ValueError(f"only 24-bit BMPs supported (got {bitcount})")
+    flip = height > 0          # positive height = bottom-up rows (the norm)
+    height = abs(height)
+    stride = _align4(width * 3)
+    data = np.frombuffer(raw, np.uint8, count=stride * height,
+                         offset=_HEADER_BYTES)
+    rows = data.reshape(height, stride)[:, : width * 3]
+    img = rows.reshape(height, width, 3)
+    return img[::-1].copy() if flip else img.copy()
+
+
 def bmp_load(path: str) -> np.ndarray:
     """Load a 24-bit BMP as a top-down (H, W, 3) uint8 BGR array."""
     if _native is not None:
@@ -34,22 +55,10 @@ def bmp_load(path: str) -> np.ndarray:
         return np.frombuffer(ba, np.uint8).reshape(h, w, 3)
     with open(path, "rb") as f:
         raw = f.read()
-    fields = struct.unpack_from(_HEADER_FMT, raw, 0)
-    magic, width, height, bitcount = fields[0], fields[6], fields[7], fields[9]
-    if magic != 0x4D42:
-        raise ValueError(f"{path}: not a BMP file")
-    if bitcount != 24:
-        raise ValueError(f"{path}: only 24-bit BMPs supported (got {bitcount})")
-    flip = height > 0          # positive height = bottom-up rows (the norm)
-    height = abs(height)
-    stride = _align4(width * 3)
-    # Reference reads pixel data immediately after the 54-byte header
-    # (bmpfile.c:53-64, bfOffBits ignored).
-    data = np.frombuffer(raw, np.uint8, count=stride * height,
-                         offset=_HEADER_BYTES)
-    rows = data.reshape(height, stride)[:, : width * 3]
-    img = rows.reshape(height, width, 3)
-    return img[::-1].copy() if flip else img.copy()
+    try:
+        return bmp_decode(raw)
+    except ValueError as e:
+        raise ValueError(f"{path}: {e}") from None
 
 
 def bmp_save(path: str, img: np.ndarray) -> None:

@@ -32,7 +32,6 @@ import numpy as np
 from .darknet import cfg as cfg_mod
 from .darknet import weights as weights_mod
 from .darknet.ir import LayerType, NetIR
-from .darknet.ir import LayerType as _LT
 from .graph.build import (fold_input_transform, forward_features,
                           params_to_pytree)
 from .ops.nms import NMSResult, nms
@@ -94,8 +93,7 @@ class Net:
             params = weights_mod.zero_weights(ir)
         elif cache_dir is not None:
             from .darknet.cache import load_or_build
-            params, _ = load_or_build(ir, cfg_path, weights_path, cache_dir,
-                                      input_w, input_h)
+            params, _ = load_or_build(ir, cfg_path, weights_path, cache_dir)
         else:
             params, _ = weights_mod.load_weights(ir, weights_path)
         return cls(ir, params, mode=mode, topk=topk)
@@ -129,7 +127,7 @@ class Net:
 
     def _can_fold_input(self) -> bool:
         first = self.ir.layers[0]
-        return (self.mode == "fast" and first.type == _LT.CONV
+        return (self.mode == "fast" and first.type == LayerType.CONV
                 and first.groups == 1)
 
     def _build_pipeline(self, img_h: int, img_w: int, folded: bool):

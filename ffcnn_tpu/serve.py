@@ -29,39 +29,39 @@ import numpy as np
 
 
 class DetectorService:
-    def __init__(self, net, probe_hw=(64, 64)):
+    def __init__(self, net, probe_hw=None):
         self.net = net
         self._ready = False
+        self._error: str | None = None
         self._lock = threading.Lock()
-        self._probe_hw = probe_hw
+        # Probe at the model's own input size: each distinct request image
+        # size still compiles its own pipeline bucket lazily on first use,
+        # but the common case (images at/near net dims) is hot at ready time.
+        self._probe_hw = probe_hw or (net.ir.blobs[0].h, net.ir.blobs[0].w)
 
     def warmup(self):
-        """Compile + run one probe so /healthz reflects real readiness."""
-        h, w = self._probe_hw
-        self.net.detect(np.zeros((h, w, 3), np.uint8))
-        self._ready = True
+        """Compile + run one probe so /healthz reflects real readiness.
+        A warmup failure is captured and surfaced through /healthz rather
+        than dying silently in the background thread."""
+        try:
+            h, w = self._probe_hw
+            self.net.detect(np.zeros((h, w, 3), np.uint8))
+            self._ready = True
+        except Exception as e:  # noqa: BLE001 — report via health check
+            self._error = f"{type(e).__name__}: {e}"
+            raise
 
     @property
     def ready(self) -> bool:
         return self._ready
 
+    @property
+    def error(self) -> str | None:
+        return self._error
+
     def detect_bmp_bytes(self, raw: bytes):
-        from .imageio import bmp as bmp_mod
-        # decode via the in-memory framing the codec module defines
-        import struct
-        fields = struct.unpack_from(bmp_mod._HEADER_FMT, raw, 0)
-        magic, width, height, bits = (fields[0], fields[6], fields[7],
-                                      fields[9])
-        if magic != 0x4D42 or bits != 24:
-            raise ValueError("not a 24-bit BMP")
-        flip = height > 0
-        height = abs(height)
-        stride = bmp_mod._align4(width * 3)
-        data = np.frombuffer(raw, np.uint8, count=stride * height,
-                             offset=bmp_mod._HEADER_BYTES)
-        img = data.reshape(height, stride)[:, :width * 3].reshape(
-            height, width, 3)
-        img = img[::-1].copy() if flip else img.copy()
+        from .imageio.bmp import bmp_decode
+        img = bmp_decode(raw)
         with self._lock:                      # one dispatch at a time
             dets = self.net.detect(img)
         return [{"score": round(d.score, 4), "class_id": d.class_id,
@@ -87,6 +87,9 @@ def make_server(service: DetectorService, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 if service.ready:
                     self._send(200, b"ok", "text/plain")
+                elif service.error:
+                    self._send(503, f"warmup failed: {service.error}"
+                               .encode(), "text/plain")
                 else:
                     self._send(503, b"warming up", "text/plain")
             elif self.path == "/dump":

@@ -125,6 +125,7 @@ static PyObject *py_bmp_save(PyObject *self, PyObject *args) {
             wr16(hdr + 28, 24);
             wr32(hdr + 34, (uint32_t)stride * h);
             uint8_t *row = (uint8_t *)calloc(1, (size_t)stride);
+            if (!row) ok = 0;
             if (fwrite(hdr, 1, HEADER_BYTES, fp) != HEADER_BYTES) ok = 0;
             const uint8_t *src = (const uint8_t *)view.buf;
             for (int y = h - 1; ok && y >= 0 && row; y--) {   /* bottom-up */

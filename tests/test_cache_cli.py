@@ -46,7 +46,8 @@ def test_cache_key_changes_with_content(micro_files, tmp_path):
     with open(w2, "wb") as f:
         f.write(synth_weights_bytes(ir, seed=8))
     assert cache_key(cfg, w2) != k1
-    assert cache_key(cfg, wpath, 64, 64) != k1
+    # input size is NOT part of the key: folded params are size-independent
+    assert cache_key(cfg, wpath) == k1
 
 
 def test_net_load_with_cache(micro_files, tmp_path):

@@ -17,10 +17,15 @@ def native():
                        capture_output=True, text=True)
     if r.returncode != 0:
         pytest.skip(f"native build unavailable: {r.stderr[-200:]}")
-    import importlib
-    import ffcnn_tpu
-    importlib.reload(ffcnn_tpu)
+    # Rebind _native in the modules that captured it at import time (they may
+    # have been imported before the .so existed on a fresh checkout).
     from ffcnn_tpu import _ffcnn_native
+    import ffcnn_tpu.imageio.bmp as bmp_mod
+    import ffcnn_tpu.imageio.loader as loader_mod
+    for m in (bmp_mod, loader_mod):
+        if m._native is None:
+            m._native = _ffcnn_native
+    assert bmp_mod._native is not None and loader_mod._native is not None
     return _ffcnn_native
 
 

@@ -4,16 +4,18 @@ traces (host wall-clock through the axon tunnel is noisy and misleading).
 Usage:
     from tools.devtime import device_ms
     ms = device_ms(fn, *args, iters=10)   # mean device ms per call
-"""
-import collections
-import glob
-import gzip
-import json
+
+Thin wrapper over the package's trace parser (ffcnn_tpu.profiling)."""
 import os
 import shutil
+import sys
 import tempfile
 
 import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ffcnn_tpu.profiling import _parse_trace  # noqa: E402
 
 
 def device_ms(fn, *args, iters: int = 10):
@@ -26,20 +28,7 @@ def device_ms(fn, *args, iters: int = 10):
             for _ in range(iters):
                 r = fn(*args)
             jax.block_until_ready(r)
-        path = glob.glob(os.path.join(tmp, "plugins/profile/*/*.trace.json.gz"))
-        if not path:
-            raise RuntimeError("no trace produced")
-        with gzip.open(path[0]) as f:
-            data = json.load(f)
-        ev = data["traceEvents"]
-        pids = {e["pid"]: e["args"].get("name", "") for e in ev
-                if e.get("ph") == "M" and e.get("name") == "process_name"}
-        dev = {p for p, n in pids.items() if "TPU" in n}
-        total = 0.0
-        for e in ev:
-            if (e.get("ph") == "X" and e.get("pid") in dev
-                    and not e["name"].startswith("jit_")):
-                total += e.get("dur", 0)
-        return total / iters / 1000.0
+        per_layer, other = _parse_trace(tmp, iters)
+        return (sum(per_layer.values()) + other) / 1000.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
