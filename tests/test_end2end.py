@@ -53,3 +53,20 @@ def test_dump_matches_reference_format(net320):
     text = net320.dump()
     assert text.startswith("layer   type  filters")
     assert "yolo class_num: 80" in text
+
+
+def test_fast_mode_golden_classes(ref_cfg, ref_weights):
+    """The production path (bf16 + folded-conv1 uint8 preprocess) must find
+    the same objects as the C reference on the golden image — classes exact,
+    boxes within bf16 wiggle (the reference's mAP-parity criterion is for
+    parity mode; fast mode trades bit-parity for throughput)."""
+    bgr = bmp_load(conftest.fixture_path("test320.bmp"))
+    net = Net.load(ref_cfg, ref_weights, mode="fast")
+    dets = net.detect(bgr)
+    golden = _golden("golden_boxes_320x320.txt")
+    assert len(dets) == len(golden)
+    for d, (cat, score, x1, y1, x2, y2) in zip(dets, golden):
+        assert d.class_id == cat
+        assert abs(d.score - score) < 0.05
+        for got, want in ((d.x1, x1), (d.y1, y1), (d.x2, x2), (d.y2, y2)):
+            assert abs(got - want) < 12, (d, (cat, score, x1, y1, x2, y2))
