@@ -110,6 +110,17 @@ class Net:
                  self.timeused.items()]
         return "\n".join(lines) + ("\n" if lines else "")
 
+    def warmup(self, image_sizes=None, batch_sizes=(1,)) -> None:
+        """Precompile pipeline buckets for the given (H, W) image sizes and
+        batch sizes (serving cold-start control; combine with
+        enable_compile_cache() to persist across processes).  Defaults to
+        the model's own input size."""
+        net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
+        for (h, w) in (image_sizes or [(net_h, net_w)]):
+            for n in batch_sizes:
+                res = self.detect_device(np.zeros((n, h, w, 3), np.uint8))
+                jax.block_until_ready(res)
+
     def profile_layers(self, batch=None, iters: int = 10):
         """Hardware per-layer profile (profiling.py): runs ``iters`` jitted
         steps under jax.profiler and attributes device time to layers via

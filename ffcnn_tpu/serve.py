@@ -44,8 +44,7 @@ class DetectorService:
         A warmup failure is captured and surfaced through /healthz rather
         than dying silently in the background thread."""
         try:
-            h, w = self._probe_hw
-            self.net.detect(np.zeros((h, w, 3), np.uint8))
+            self.net.warmup(image_sizes=[self._probe_hw])
             self._ready = True
         except Exception as e:  # noqa: BLE001 — report via health check
             self._error = f"{type(e).__name__}: {e}"
