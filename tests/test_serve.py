@@ -97,3 +97,33 @@ def test_debug_nans_clean():
         net.detect(rng.randint(0, 256, (64, 64, 3), dtype=np.uint8))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_microbatch_concurrent_requests_correct(server, tmp_path):
+    """Concurrent requests coalesce into one padded dispatch and each caller
+    gets ITS image's detections (and mixed sizes are still served)."""
+    import concurrent.futures
+    srv, service = server
+    service.warmup()
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(6)]
+    imgs.append(rng.randint(0, 256, (96, 64, 3), dtype=np.uint8))  # odd size
+    want = [service.net.detect(im) for im in imgs]
+
+    def one(im):
+        return service._batcher.detect(im)
+
+    with concurrent.futures.ThreadPoolExecutor(7) as ex:
+        got = list(ex.map(one, imgs))
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for a, b in zip(g, w):
+            assert a.class_id == b.class_id
+            assert abs(a.score - b.score) < 1e-6
+            assert abs(a.x1 - b.x1) < 1e-4
+
+
+def test_microbatch_bucket_powers_of_two():
+    from ffcnn_tpu.serve import MicroBatcher
+    assert [MicroBatcher._bucket(n) for n in (1, 2, 3, 5, 8, 9)] == \
+        [1, 2, 4, 8, 8, 16]
