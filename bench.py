@@ -32,7 +32,7 @@ WEIGHTS = "/root/reference/yolo-fastest-1.1.weights"
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 BASELINE_IMG_S = 23.6          # reference conv-v6 @320x320 on this host CPU
 SIZE = 320
-BATCHES = (128, 256, 512)
+BATCHES = (256, 384, 512)
 ITERS = 30
 
 
