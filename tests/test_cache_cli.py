@@ -98,3 +98,16 @@ def test_profile_report_renders(micro_files):
     text = rep.render()
     assert "total" in text and "profile" in text
     assert len(rep.layers) == len(net.ir.layers)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    import jax
+    import ffcnn_tpu
+    target = str(tmp_path / "xlacache")
+    got = ffcnn_tpu.enable_compile_cache(target)
+    assert got == target and os.path.isdir(target)
+    assert jax.config.jax_compilation_cache_dir == target
+    # env override path
+    monkeypatch.setenv("FFCNN_COMPILE_CACHE", str(tmp_path / "envcache"))
+    got2 = ffcnn_tpu.enable_compile_cache()
+    assert got2.endswith("envcache") and os.path.isdir(got2)
