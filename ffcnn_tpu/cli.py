@@ -63,22 +63,42 @@ def cmd_dump(args) -> int:
 def cmd_bench(args) -> int:
     import jax
     import jax.numpy as jnp
-    from . import Net
 
-    net = Net.load(args.cfg, args.weights, args.size, args.size,
-                   mode=args.mode)
     batch = np.random.randint(0, 255, (args.batch, args.size, args.size, 3),
                               np.uint8)
-    bj = jnp.asarray(batch)
-    res = net.detect_device(np.asarray(batch))
+    if args.dp:
+        # data-parallel over every local device (parallel/dp.py); batch is
+        # sharded on the mesh data axis, params replicated
+        from .darknet import parse_cfg, load_weights
+        from .graph.build import params_to_pytree
+        from .parallel import build_sharded_pipeline, make_mesh
+
+        ir = parse_cfg(args.cfg, args.size, args.size)
+        params = params_to_pytree(load_weights(ir, args.weights)[0])
+        mesh = make_mesh()
+        fn, place = build_sharded_pipeline(
+            ir, mesh, args.size, args.size,
+            dtype=jnp.bfloat16 if args.mode == "fast" else jnp.float32)
+        placed = place(params)
+        mean = jnp.zeros(3, jnp.float32)
+        norm = jnp.full(3, 1 / 255.0, jnp.float32)
+        run = lambda: fn(placed, jnp.asarray(batch), mean, norm)
+        label = "dp x%d" % len(jax.devices())
+    else:
+        from . import Net
+        net = Net.load(args.cfg, args.weights, args.size, args.size,
+                       mode=args.mode)
+        run = lambda: net.detect_device(batch)
+        label = args.mode
+    res = run()
     jax.block_until_ready(res)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        res = net.detect_device(batch)
+        res = run()
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / args.iters
     print("batch %d @%dx%d %s: %.2f ms/batch, %.0f img/s"
-          % (args.batch, args.size, args.size, args.mode, dt * 1000,
+          % (args.batch, args.size, args.size, label, dt * 1000,
              args.batch / dt))
     return 0
 
@@ -141,6 +161,8 @@ def main(argv=None) -> int:
     pb.add_argument("--batch", type=int, default=256)
     pb.add_argument("--size", type=int, default=320)
     pb.add_argument("--iters", type=int, default=10)
+    pb.add_argument("--dp", action="store_true",
+                    help="shard the batch over all local devices (DP mesh)")
     _add_model_args(pb)
     pb.set_defaults(mode="fast")
 
