@@ -40,15 +40,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def parity_gate():
-    from ffcnn_tpu import Net
-    from ffcnn_tpu.imageio.bmp import bmp_load
-
-    net = Net.load(CFG, WEIGHTS, mode="parity")
-    bgr = bmp_load(os.path.join(FIXTURES, "test320.bmp"))
-    dets = net.detect(bgr)
+def _check_golden(dets, golden_file):
     golden = []
-    with open(os.path.join(FIXTURES, "golden_boxes_320x320.txt")) as f:
+    with open(golden_file) as f:
         for line in f:
             score = float(line.split("score:")[1].split(",")[0])
             cat = int(line.split("category:")[1].split(",")[0])
@@ -59,7 +53,26 @@ def parity_gate():
         assert d.class_id == cat, (d, cat)
         assert abs(d.score - score) < 5e-3, (d, score)
         assert [int(d.x1), int(d.y1), int(d.x2), int(d.y2)] == rect, (d, rect)
-    log("parity gate: %d golden detections exact" % len(golden))
+    return len(golden)
+
+
+def parity_gate():
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
+
+    net = Net.load(CFG, WEIGHTS, mode="parity")
+    bgr = bmp_load(os.path.join(FIXTURES, "test320.bmp"))
+    n = _check_golden(net.detect(bgr),
+                      os.path.join(FIXTURES, "golden_boxes_320x320.txt"))
+    log("parity gate 320x320: %d golden detections exact" % n)
+
+    # Second gate: the reference demo's own geometry (640x448, ALIGN-32
+    # input override per ffcnn.c:133-134,573) through the jitted pipeline.
+    net648 = Net.load(CFG, WEIGHTS, 640, 448, mode="parity")
+    bgr648 = bmp_load("/root/reference/test.bmp")
+    n = _check_golden(net648.detect(bgr648),
+                      os.path.join(FIXTURES, "golden_boxes_640x448.txt"))
+    log("parity gate 640x448 (demo geometry): %d golden detections exact" % n)
 
 
 def throughput():
@@ -134,7 +147,7 @@ def main():
         "p50_batch1_ms": round(p50, 2),
         "mode": "fast(bf16+fp32acc)",
         "device": str(dev.device_kind),
-        "parity": "golden detections exact (parity mode)",
+        "parity": "golden detections exact (parity mode, 320x320 + 640x448)",
     }))
 
 

@@ -83,7 +83,10 @@ def load_or_build(ir: NetIR, cfg_path: str, weights_path: str,
         try:
             return load_params(path), True
         except Exception:
-            os.unlink(path)                  # corrupt cache entry: rebuild
+            try:                             # corrupt cache entry: rebuild.
+                os.unlink(path)              # A concurrent worker may have
+            except OSError:                  # already replaced/removed it —
+                pass                         # still fall through to rebuild.
     params, _ = load_weights(ir, weights_path)
     save_params(path, params)
     return params, False

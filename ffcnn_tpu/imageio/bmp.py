@@ -80,6 +80,29 @@ def bmp_save(path: str, img: np.ndarray) -> None:
         f.write(rows[::-1].tobytes())
 
 
+def setpixel(img: np.ndarray, x: int, y: int, r: int, g: int, b: int) -> None:
+    """bmp_setpixel (bmpfile.c:121-131): write one RGB pixel into the BGR
+    buffer, silently dropped when out of bounds, color clamped to [0, 255].
+    Mutates *img* in place."""
+    h, w = img.shape[:2]
+    if 0 <= x < w and 0 <= y < h:
+        img[y, x] = tuple(min(255, max(0, v)) for v in (b, g, r))
+
+
+def getpixel(img: np.ndarray, x: int, y: int):
+    """bmp_getpixel (bmpfile.c:133-143): read one pixel.  Returns the bytes
+    at offsets +0/+1/+2 under the reference's (r, g, b) OUT-parameter names —
+    which in the BGR buffer are actually (blue, green, red); the quirk is
+    reproduced as written.  Out-of-bounds reads return (0, 0, 0) (the C code
+    checks only the upper bound; negative indices are UB there, bounded
+    here)."""
+    h, w = img.shape[:2]
+    if 0 <= x < w and 0 <= y < h:
+        bgr = img[y, x]
+        return int(bgr[0]), int(bgr[1]), int(bgr[2])
+    return 0, 0, 0
+
+
 def draw_rectangle(img: np.ndarray, x1: int, y1: int, x2: int, y2: int,
                    r: int, g: int, b: int) -> None:
     """Outline rectangle, clipped per-pixel like bmp_rectangle

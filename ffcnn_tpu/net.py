@@ -141,7 +141,15 @@ class Net:
         return (self.mode == "fast" and first.type == LayerType.CONV
                 and first.groups == 1)
 
-    def _build_pipeline(self, img_h: int, img_w: int, folded: bool):
+    def _max_candidates(self) -> int:
+        """Total YOLO candidates the model can emit at its input size — the
+        analog of the reference's bbox arena capacity (ffcnn.c:243)."""
+        return sum(self.ir.blobs[li].w * self.ir.blobs[li].h * 3
+                   for li, l in enumerate(self.ir.layers)
+                   if l.type == LayerType.YOLO)
+
+    def _build_pipeline(self, img_h: int, img_w: int, folded: bool,
+                        topk: Optional[int] = None):
         """Whole pixels-to-boxes program for one original-image size.
 
         ``folded``: normalize/BGR-swap live in conv-1's weights
@@ -153,7 +161,8 @@ class Net:
         net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
         _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
         heads_meta = self._head_layers()
-        dtype, precision, topk = self._dtype, self._precision, self.topk
+        dtype, precision = self._dtype, self._precision
+        topk = self.topk if topk is None else topk
 
         def pipeline(params, bgr, mean, norm):
             if folded:
@@ -172,13 +181,14 @@ class Net:
 
         return jax.jit(pipeline)
 
-    def _pipeline_for(self, img_h: int, img_w: int, mean, norm):
+    def _pipeline_for(self, img_h: int, img_w: int, mean, norm,
+                      topk: Optional[int] = None):
         folded = (self._can_fold_input()
                   and tuple(np.asarray(mean).tolist()) == DEFAULT_MEAN)
-        key = (img_h, img_w, folded)
+        key = (img_h, img_w, folded, topk or self.topk)
         fn = self._pipelines.get(key)
         if fn is None:
-            fn = self._build_pipeline(img_h, img_w, folded)
+            fn = self._build_pipeline(img_h, img_w, folded, topk)
             self._pipelines[key] = fn
         return fn
 
@@ -193,16 +203,36 @@ class Net:
         if batch.ndim != 4 or batch.shape[-1] != 3:
             raise ValueError(f"expected (N, H, W, 3) uint8, got {batch.shape}")
         res = self.detect_device(batch, mean, norm)
+        # Dense-scene handling: if any frame had more above-threshold
+        # candidates than topk, the top-k pass truncated BEFORE suppression
+        # and the result can diverge from the reference's (effectively
+        # unbounded, ffcnn.c:243) NMS.  In parity mode grow K and retry
+        # until the census fits; in fast mode warn — production callers
+        # watching throughput can raise ``topk`` or read res.saturated.
+        max_k = self._max_candidates()
+        k = min(self.topk, max_k)
+        while bool(np.asarray(res.saturated).any()) and k < max_k:
+            k = min(max_k, k * 4)
+            if self.mode != "parity":
+                import warnings
+                warnings.warn(
+                    f"NMS top-k saturated (k={self.topk}); some candidates "
+                    f"were dropped pre-suppression. Raise topk (model max "
+                    f"{max_k}) for crowded scenes.", RuntimeWarning,
+                    stacklevel=2)
+                break
+            res = self.detect_device(batch, mean, norm, topk=k)
         out = self._to_detections(res)
         return out[0] if single else out
 
-    def detect_device(self, batch, mean=DEFAULT_MEAN,
-                      norm=DEFAULT_NORM) -> NMSResult:
+    def detect_device(self, batch, mean=DEFAULT_MEAN, norm=DEFAULT_NORM,
+                      topk: Optional[int] = None) -> NMSResult:
         """Device-level entry: uint8 (N, H, W, 3) BGR (numpy or an already
         device-resident jnp array) → NMSResult device arrays (no host sync).
-        Used by detect(), benchmarks, and serving."""
+        Used by detect(), benchmarks, and serving.  ``topk`` overrides the
+        net default for this call (a new value compiles a new bucket)."""
         n, h, w, _ = batch.shape
-        fn = self._pipeline_for(h, w, mean, norm)
+        fn = self._pipeline_for(h, w, mean, norm, topk)
         t0 = time.perf_counter()
         res = fn(self.params, jnp.asarray(batch),
                  jnp.asarray(mean, jnp.float32), jnp.asarray(norm, jnp.float32))

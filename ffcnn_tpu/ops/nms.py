@@ -30,6 +30,11 @@ class NMSResult(NamedTuple):
     scores: jnp.ndarray    # (N, K), 0 for empty/suppressed slots
     classes: jnp.ndarray   # (N, K) int32
     count: jnp.ndarray     # (N,) int32 number of valid detections
+    saturated: jnp.ndarray  # (N,) bool: above-threshold candidates > K, so
+    #                         the top-k pass dropped some BEFORE suppression
+    #                         and the result may diverge from unbounded NMS.
+    #                         The C arena only drops past ~35k (ffcnn.c:243,
+    #                         461-469); this flag makes the smaller K honest.
 
 
 def _iou_min(box, others):
@@ -111,6 +116,11 @@ def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
     """
     n, m, _ = boxes.shape
     k = min(k, m)
+    # Candidate census BEFORE truncation: the reference NMS-es every
+    # above-threshold box (arena capacity ~35k, ffcnn.c:243); if more than K
+    # exist here, top-k silently drops the tail — flag it so callers can
+    # retry with a bigger K (Net.detect does, in parity mode) or warn.
+    saturated = jnp.sum(scores > 0, axis=1) > k
     top_scores, idx = lax.top_k(scores, k)                    # sorted desc
     top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(classes, idx, axis=1)
@@ -134,4 +144,5 @@ def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
     return NMSResult(boxes=top_boxes * rescale,
                      scores=out_scores,
                      classes=top_classes,
-                     count=jnp.sum(keep, axis=1).astype(jnp.int32))
+                     count=jnp.sum(keep, axis=1).astype(jnp.int32),
+                     saturated=saturated)

@@ -22,11 +22,17 @@ across processes/chips; DP across chips is the parallel/dp.py pipeline.
 from __future__ import annotations
 
 import json
-import queue
 import threading
+from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class Overloaded(RuntimeError):
+    """Raised by MicroBatcher.detect when the pending-request bound is hit;
+    the HTTP layer maps it to 503 so a load balancer sheds load instead of
+    the process queueing unboundedly toward OOM."""
 
 
 class _Pending:
@@ -42,21 +48,52 @@ class _Pending:
 class MicroBatcher:
     """Collect concurrent same-size requests into one device dispatch.
 
-    Dispatcher loop: block for one request, then drain whatever else is
-    already queued (up to ``max_batch``, same HxW only), pad the batch dim
-    up to a power of two, run one detect, scatter results."""
+    Requests are grouped by image shape; the dispatcher always serves the
+    group that has waited longest and re-queues a group with leftovers at the
+    BACK of the rotation, so mixed-size traffic is served round-robin — a
+    steady stream of one size can never starve another (a v1 defect).  The
+    pending set is bounded (``Overloaded`` beyond ``max_pending``), waits are
+    bounded (``wait_timeout``), and the dispatcher survives ANY per-round
+    exception by fanning it out to that round's callers."""
 
-    def __init__(self, net, max_batch: int = 64):
+    def __init__(self, net, max_batch: int = 64, max_pending: int = 512,
+                 wait_timeout: float = 300.0):
         self.net = net
         self.max_batch = max_batch
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self.max_pending = max_pending
+        self.wait_timeout = wait_timeout
+        self._cv = threading.Condition()
+        self._groups: "OrderedDict[tuple, deque]" = OrderedDict()
+        self._npending = 0
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    @property
+    def alive(self) -> bool:
+        return self._thread.is_alive() and not self._closed
+
+    def close(self):
+        """Stop the dispatcher after the current round; pending and future
+        requests fail fast instead of blocking."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
     def detect(self, img):
         p = _Pending(img)
-        self._q.put(p)
-        p.event.wait()
+        with self._cv:
+            if self._closed or not self._thread.is_alive():
+                raise RuntimeError("batcher dispatcher is not running")
+            if self._npending >= self.max_pending:
+                raise Overloaded(
+                    f"{self._npending} requests pending (max {self.max_pending})")
+            self._groups.setdefault(tuple(img.shape), deque()).append(p)
+            self._npending += 1
+            self._cv.notify()
+        if not p.event.wait(self.wait_timeout):
+            p.error = TimeoutError("batcher did not answer in "
+                                   f"{self.wait_timeout}s")
         if p.error is not None:
             raise p.error
         return p.result
@@ -68,55 +105,93 @@ class MicroBatcher:
             b *= 2
         return b
 
+    def _take_group(self):
+        """(lock held) Pop up to max_batch requests from the oldest size
+        group; rotate a non-empty remainder to the back of the order."""
+        shape, dq = next(iter(self._groups.items()))
+        group = []
+        while dq and len(group) < self.max_batch:
+            group.append(dq.popleft())
+        del self._groups[shape]
+        if dq:
+            self._groups[shape] = dq          # to the back: round-robin
+        self._npending -= len(group)
+        return group
+
+    def _fail_all(self, err):
+        with self._cv:
+            groups, self._groups = self._groups, OrderedDict()
+            self._npending = 0
+        for dq in groups.values():
+            for p in dq:
+                p.error = err
+                p.event.set()
+
     def _loop(self):
         while True:
-            first = self._q.get()
-            group = [first]
-            deferred = []
-            while len(group) < self.max_batch:
-                try:
-                    p = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if p.img.shape == first.img.shape:
-                    group.append(p)
-                else:
-                    deferred.append(p)       # different size: next rounds
-            for p in deferred:
-                self._q.put(p)
-            n = self._bucket(len(group))
-            batch = np.zeros((n,) + first.img.shape, np.uint8)
-            for i, p in enumerate(group):
-                batch[i] = p.img
             try:
-                results = self.net.detect(batch)
-            except Exception as e:  # noqa: BLE001 — fan the error out
-                for p in group:
-                    p.error = e
-                    p.event.set()
-                continue
-            for p, dets in zip(group, results):
-                p.result = dets
-                p.event.set()
+                with self._cv:
+                    while not self._groups and not self._closed:
+                        self._cv.wait()
+                    if self._closed:
+                        break
+                    group = self._take_group()
+                try:
+                    n = self._bucket(len(group))
+                    batch = np.zeros((n,) + group[0].img.shape, np.uint8)
+                    for i, p in enumerate(group):
+                        batch[i] = p.img
+                    results = self.net.detect(batch)
+                    for p, dets in zip(group, results):
+                        p.result = dets
+                        p.event.set()
+                except Exception as e:  # noqa: BLE001 — fan out, keep serving
+                    for p in group:
+                        p.error = e
+                        p.event.set()
+            except BaseException as e:  # noqa: BLE001 — never die silently
+                self._fail_all(RuntimeError(f"batcher dispatcher error: {e!r}"))
+        self._fail_all(RuntimeError("batcher closed"))
 
 
 class DetectorService:
-    def __init__(self, net, probe_hw=None, max_batch: int = 64):
+    # Largest request body accepted by POST /detect: a 24-bit BMP at
+    # 2048x2048 is ~12 MB; anything bigger is rejected before the body is
+    # read so one request can't allocate arbitrary memory pre-validation.
+    MAX_BODY_BYTES = 16 << 20
+
+    def __init__(self, net, probe_hw=None, max_batch: int = 64,
+                 max_pending: int = 512, warm_batches=None):
         self.net = net
         self._ready = False
         self._error: str | None = None
-        self._batcher = MicroBatcher(net, max_batch=max_batch)
+        self._batcher = MicroBatcher(net, max_batch=max_batch,
+                                     max_pending=max_pending)
         # Probe at the model's own input size: each distinct request image
         # size still compiles its own pipeline bucket lazily on first use,
         # but the common case (images at/near net dims) is hot at ready time.
         self._probe_hw = probe_hw or (net.ir.blobs[0].h, net.ir.blobs[0].w)
+        # Warm every batch bucket the batcher can emit (1,2,4,...,max_batch):
+        # otherwise the first concurrent burst after /healthz goes green pays
+        # a full-graph compile per new bucket.  The persistent compile cache
+        # (enable_compile_cache) keeps this cheap across restarts.
+        if warm_batches is None:
+            warm_batches, b = [], 1
+            while b <= max_batch:
+                warm_batches.append(b)
+                b *= 2
+        self._warm_batches = tuple(warm_batches)
 
     def warmup(self):
-        """Compile + run one probe so /healthz reflects real readiness.
-        A warmup failure is captured and surfaced through /healthz rather
-        than dying silently in the background thread."""
+        """Compile + run probes at every dispatchable batch bucket so
+        /healthz reflects real readiness.  A warmup failure is captured and
+        surfaced through /healthz rather than dying silently in the
+        background thread."""
+        if self._ready:
+            return
         try:
-            self.net.warmup(image_sizes=[self._probe_hw])
+            self.net.warmup(image_sizes=[self._probe_hw],
+                            batch_sizes=self._warm_batches)
             self._ready = True
         except Exception as e:  # noqa: BLE001 — report via health check
             self._error = f"{type(e).__name__}: {e}"
@@ -124,10 +199,14 @@ class DetectorService:
 
     @property
     def ready(self) -> bool:
-        return self._ready
+        # A wedged/dead dispatcher must flip health red even after a good
+        # warmup, or a load balancer keeps routing to a stuck worker.
+        return self._ready and self._batcher.alive
 
     @property
     def error(self) -> str | None:
+        if self._error is None and self._ready and not self._batcher.alive:
+            return "batcher dispatcher is not running"
         return self._error
 
     def detect_bmp_bytes(self, raw: bytes):
@@ -172,9 +251,20 @@ def make_server(service: DetectorService, host: str = "127.0.0.1",
                 self._send(404, b"not found", "text/plain")
                 return
             n = int(self.headers.get("Content-Length", "0"))
+            if n > service.MAX_BODY_BYTES:
+                self._send(413, json.dumps(
+                    {"error": f"body {n} bytes exceeds "
+                              f"{service.MAX_BODY_BYTES}"}).encode())
+                return
             raw = self.rfile.read(n)
             try:
                 dets = service.detect_bmp_bytes(raw)
+            except Overloaded as e:
+                self._send(503, json.dumps({"error": str(e)}).encode())
+                return
+            except TimeoutError as e:
+                self._send(504, json.dumps({"error": str(e)}).encode())
+                return
             except Exception as e:  # noqa: BLE001 — surface as 400
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return

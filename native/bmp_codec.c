@@ -24,6 +24,16 @@
 #include <string.h>
 
 #define HEADER_BYTES 54
+/* Dimension bound for every w/h accepted from a file header or from Python:
+ * keeps w*3 / w*h*3 comfortably inside int/size_t arithmetic (a hostile
+ * header width near INT_MAX/3 would otherwise overflow the signed stride
+ * computation — UB in a file parser). 32768^2*3 = 3 GiB is already far past
+ * any real BMP. */
+#define MAX_DIM 32768
+
+static int dims_ok(int w, int h) {
+    return w > 0 && h > 0 && w <= MAX_DIM && h <= MAX_DIM;
+}
 
 static uint32_t rd32(const uint8_t *p) {
     return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
@@ -54,7 +64,7 @@ static int decode_bmp_file(const char *path, uint8_t *buf, int *out_w,
     int bits = rd16(hdr + 28);
     int flip = h > 0;                       /* bottom-up rows (the norm) */
     if (h < 0) h = -h;
-    if (bits != 24 || w <= 0 || h <= 0) { fclose(fp); return -2; }
+    if (bits != 24 || !dims_ok(w, h)) { fclose(fp); return -2; }
     *out_w = w; *out_h = h;
     if (!buf) { fclose(fp); return 0; }
     if (expect_w && (w != expect_w || h != expect_h)) { fclose(fp); return -3; }
@@ -102,6 +112,10 @@ static PyObject *py_bmp_save(PyObject *self, PyObject *args) {
     Py_buffer view;
     int h, w;
     if (!PyArg_ParseTuple(args, "sy*ii", &path, &view, &h, &w)) return NULL;
+    if (!dims_ok(w, h)) {
+        PyBuffer_Release(&view);
+        return PyErr_Format(PyExc_ValueError, "bad dims %dx%d", w, h);
+    }
     if (view.len < (Py_ssize_t)w * h * 3) {
         PyBuffer_Release(&view);
         return PyErr_Format(PyExc_ValueError, "buffer too small");
@@ -243,6 +257,10 @@ static PyObject *py_draw_rectangle(PyObject *self, PyObject *args) {
     if (!PyArg_ParseTuple(args, "w*iiiiiiiii", &view, &h, &w,
                           &x1, &y1, &x2, &y2, &r, &g, &b))
         return NULL;
+    if (!dims_ok(w, h)) {
+        PyBuffer_Release(&view);
+        return PyErr_Format(PyExc_ValueError, "bad dims %dx%d", w, h);
+    }
     if (view.len < (Py_ssize_t)w * h * 3) {
         PyBuffer_Release(&view);
         return PyErr_Format(PyExc_ValueError, "buffer too small");

@@ -1,6 +1,7 @@
-"""End-to-end golden test: full jitted pipeline vs the C reference's output
-(SURVEY.md §4c).  Runs at the stock 320x320 input to keep CPU compile time
-reasonable; the 640x448 geometry is covered by the oracle test + TPU bench."""
+"""End-to-end golden tests: full jitted pipeline vs the C reference's output
+(SURVEY.md §4c) — at the stock 320x320 input AND at the reference demo's own
+640x448 geometry (ALIGN-32 input override, ffcnn.c:133-134,573), so the jit
+path is gated at a non-square, non-stock size too."""
 import numpy as np
 import pytest
 
@@ -29,6 +30,21 @@ def test_golden_detections_320(net320):
     bgr = bmp_load(conftest.fixture_path("test320.bmp"))
     dets = net320.detect(bgr)
     golden = _golden("golden_boxes_320x320.txt")
+    assert len(dets) == len(golden)
+    for d, want in zip(dets, golden):
+        assert d.class_id == want[0]
+        assert abs(d.score - want[1]) < 5e-3
+        assert (int(d.x1), int(d.y1), int(d.x2), int(d.y2)) == want[2:]
+
+
+def test_golden_detections_640x448_demo_geometry(ref_cfg, ref_weights,
+                                                 ref_bmp):
+    """The reference demo's exact run (./ffcnn 1 test.bmp cfg weights):
+    640x448 image, input dims overridden to ALIGN(640,32)xALIGN(448,32) =
+    640x448, through the full jitted pipeline in parity mode."""
+    net = Net.load(ref_cfg, ref_weights, 640, 448, mode="parity")
+    dets = net.detect(bmp_load(ref_bmp))
+    golden = _golden("golden_boxes_640x448.txt")
     assert len(dets) == len(golden)
     for d, want in zip(dets, golden):
         assert d.class_id == want[0]

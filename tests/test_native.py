@@ -87,3 +87,37 @@ def test_draw_rectangle_matches_python(native):
     native.draw_rectangle(buf, 40, 60, -5, 10, 70, 35, 200, 100, 50)
     got = np.frombuffer(buf, np.uint8).reshape(40, 60, 3)
     np.testing.assert_array_equal(got, py)
+
+
+def test_set_getpixel_semantics():
+    """setpixel clamps color + drops OOB; getpixel returns the raw +0/+1/+2
+    bytes (the reference's swapped-label quirk, bmpfile.c:133-143) and
+    (0,0,0) out of bounds."""
+    from ffcnn_tpu.imageio.bmp import getpixel, setpixel
+    img = np.zeros((4, 4, 3), np.uint8)
+    setpixel(img, 1, 2, 300, -5, 7)            # clamps to (255, 0, 7)
+    assert tuple(img[2, 1]) == (7, 0, 255)     # BGR storage
+    assert getpixel(img, 1, 2) == (7, 0, 255)  # raw bytes, quirk preserved
+    setpixel(img, 99, 0, 1, 2, 3)              # silently dropped
+    assert getpixel(img, 99, 0) == (0, 0, 0)
+    assert getpixel(img, -1, 0) == (0, 0, 0)
+
+
+def test_native_rejects_hostile_dims(native, tmp_path):
+    """Header/dimension bounds: no int overflow paths for absurd w/h."""
+    import pytest
+    with pytest.raises(ValueError):
+        native.bmp_save(str(tmp_path / "x.bmp"), b"\x00" * 12, 1 << 20, 1)
+    with pytest.raises(ValueError):
+        native.draw_rectangle(bytearray(12), 1, 1 << 20, 0, 0, 1, 1, 1, 2, 3)
+    # hostile header: width 0x7fffffff/3-ish would overflow stride math
+    raw = bytearray(54 + 16)
+    raw[0:2] = b"BM"
+    import struct
+    struct.pack_into("<i", raw, 18, 0x7ffffff0)   # biWidth
+    struct.pack_into("<i", raw, 22, 4)            # biHeight
+    struct.pack_into("<H", raw, 28, 24)           # biBitCount
+    p = tmp_path / "hostile.bmp"
+    p.write_bytes(bytes(raw))
+    with pytest.raises((IOError, ValueError)):
+        native.bmp_load(str(p))

@@ -127,3 +127,146 @@ def test_microbatch_bucket_powers_of_two():
     from ffcnn_tpu.serve import MicroBatcher
     assert [MicroBatcher._bucket(n) for n in (1, 2, 3, 5, 8, 9)] == \
         [1, 2, 4, 8, 8, 16]
+
+
+class _FakeNet:
+    """net.detect stand-in: returns each image's shape tag; optional per-call
+    hooks let tests inject slowness or failures without compiling anything."""
+
+    def __init__(self, hook=None):
+        self.hook = hook
+        self.batches = []
+
+    def detect(self, batch):
+        if self.hook:
+            self.hook(batch)
+        self.batches.append(batch.shape)
+        return [("det", batch.shape[1:], i) for i in range(batch.shape[0])]
+
+
+def test_microbatch_mixed_size_fairness():
+    """A steady stream of size-A requests must not starve a size-B request
+    (v1 re-queued other sizes behind the whole queue; now groups rotate)."""
+    import concurrent.futures
+    import time
+    from ffcnn_tpu.serve import MicroBatcher
+
+    release = threading.Event()
+    served_b_at = []
+
+    def slow(batch):
+        time.sleep(0.01)                    # give A-traffic time to pile up
+
+    net = _FakeNet(hook=slow)
+    mb = MicroBatcher(net, max_batch=4, wait_timeout=30.0)
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = np.zeros((16, 8, 3), np.uint8)
+    stop = time.monotonic() + 3.0
+
+    def flood_a():
+        while time.monotonic() < stop and not release.is_set():
+            try:
+                mb.detect(a)
+            except Exception:
+                return
+
+    def one_b():
+        mb.detect(b)
+        served_b_at.append(time.monotonic())
+        release.set()
+
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        floods = [ex.submit(flood_a) for _ in range(4)]
+        time.sleep(0.05)                    # A-traffic already flowing
+        fb = ex.submit(one_b)
+        fb.result(timeout=10)               # B must be served promptly
+        release.set()
+        for f in floods:
+            f.result(timeout=10)
+    assert served_b_at and served_b_at[0] < stop
+
+
+def test_microbatch_backpressure_overload():
+    from ffcnn_tpu.serve import MicroBatcher, Overloaded
+
+    gate = threading.Event()
+    net = _FakeNet(hook=lambda b: gate.wait(10))
+    mb = MicroBatcher(net, max_batch=1, max_pending=2, wait_timeout=30.0)
+    img = np.zeros((8, 8, 3), np.uint8)
+    threads = [threading.Thread(target=lambda: _swallow(mb, img))
+               for _ in range(6)]
+    errs = []
+
+    def _swallow(mb, img):
+        try:
+            mb.detect(img)
+        except Overloaded as e:
+            errs.append(e)
+
+    for t in threads:
+        t.start()
+    import time
+    time.sleep(0.3)                         # let the queue fill while blocked
+    gate.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert errs, "expected Overloaded once max_pending was exceeded"
+
+
+def test_microbatch_survives_detect_failure():
+    """A per-round failure (incl. MemoryError-class errors) fans out to that
+    round's callers and the dispatcher keeps serving later requests."""
+    from ffcnn_tpu.serve import MicroBatcher
+
+    calls = {"n": 0}
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise MemoryError("boom")
+
+    net = _FakeNet(hook=flaky)
+    mb = MicroBatcher(net, max_batch=1, wait_timeout=10.0)
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(MemoryError):
+        mb.detect(img)
+    assert mb.detect(img)[0] == "det"       # still alive and serving
+    assert mb.alive
+
+
+def test_service_health_reflects_dead_dispatcher():
+    from ffcnn_tpu.serve import MicroBatcher
+
+    net = _FakeNet()
+
+    class _Svc:                             # no compile: wire pieces directly
+        pass
+
+    from ffcnn_tpu.serve import DetectorService
+    svc = DetectorService.__new__(DetectorService)
+    svc.net = net
+    svc._ready = True
+    svc._error = None
+    svc._batcher = MicroBatcher(net, max_batch=1)
+    assert svc.ready
+    svc._batcher.close()
+    import time
+    time.sleep(0.1)
+    assert not svc.ready
+    assert "not running" in svc.error
+    with pytest.raises(RuntimeError):
+        svc._batcher.detect(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_detect_rejects_oversized_body(server):
+    import http.client
+    srv, service = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1])
+    try:
+        conn.putrequest("POST", "/detect")
+        conn.putheader("Content-Length", str(service.MAX_BODY_BYTES + 1))
+        conn.endheaders()
+        resp = conn.getresponse()           # rejected before body is read
+        assert resp.status == 413
+    finally:
+        conn.close()
