@@ -181,12 +181,12 @@ def nms(boxes: List[Tuple], threshold: float, use_min: bool,
     return out
 
 
-def net_forward(ir: NetIR, params: Dict[int, FoldedConvParams],
-                x: np.ndarray, s1: int = 1, s2: int = 1,
-                nms_threshold: float = 0.5) -> List[Tuple]:
-    """Full oracle forward: preprocessed net input (H, W, C) → final box list
-    (class, score, x1, y1, x2, y2) in original-image coords.  Mirrors
-    net_forward's sequential dispatch (ffcnn.c:476-520)."""
+def net_candidates(ir: NetIR, params: Dict[int, FoldedConvParams],
+                   x: np.ndarray) -> List[Tuple]:
+    """Forward pass → decoded above-threshold candidates BEFORE NMS, in the
+    reference's (head, row, col, anchor) append order (ffcnn.c:461-469).
+    Pre-NMS candidates are deterministic even when scores tie, which greedy
+    NMS survivor identity is not — tests on deep synthetic nets use this."""
     n = len(ir.layers)
     blobs: List = [None] * (n + 1)
     blobs[0] = x.astype(np.float32)
@@ -221,7 +221,16 @@ def net_forward(ir: NetIR, params: Dict[int, FoldedConvParams],
         else:
             raise ValueError(f"unknown layer type {t}")
         blobs[li + 1] = out
-    return nms(boxes, nms_threshold, True, s1, s2)
+    return boxes
+
+
+def net_forward(ir: NetIR, params: Dict[int, FoldedConvParams],
+                x: np.ndarray, s1: int = 1, s2: int = 1,
+                nms_threshold: float = 0.5) -> List[Tuple]:
+    """Full oracle forward: preprocessed net input (H, W, C) → final box list
+    (class, score, x1, y1, x2, y2) in original-image coords.  Mirrors
+    net_forward's sequential dispatch (ffcnn.c:476-520)."""
+    return nms(net_candidates(ir, params, x), nms_threshold, True, s1, s2)
 
 
 def detect(ir: NetIR, params: Dict[int, FoldedConvParams], bgr: np.ndarray,

@@ -19,7 +19,46 @@ from ffcnn_tpu.oracle import numpy_ref
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFGS = sorted(glob.glob(os.path.join(REPO, "models", "*.cfg")))
 SIZES = {"yolov3-tiny": 160, "yolov4-tiny": 160, "ffcnn-micro": 64,
-         "yolov3": 128}
+         "yolov3": 128, "yolov4": 128, "yolo-fastest-xl": 160}
+
+
+# Very deep synthetic nets collapse toward constant feature maps (the random
+# input's influence washes out over 150+ layers), producing clusters of
+# candidates whose scores tie at ~1e-6 — greedy-NMS survivor IDENTITY is then
+# tie-order dependent between the float64 oracle and float32 pipeline, which
+# is not a numerics bug.  For those models parity is checked on the pre-NMS
+# candidate stream (deterministic, same (head,row,col,anchor) order on both
+# sides); NMS itself is oracle-gated elsewhere (test_ops/test_nms_impls) and
+# golden-gated end-to-end on real weights (test_end2end).
+TIE_PRONE = {"yolov4"}
+
+
+def _jax_candidates(ir, params, img, size):
+    """Decoded above-threshold candidates from the jitted pipeline, in the
+    reference's append order, as (class, score, x1, y1, x2, y2) tuples."""
+    import jax
+    import jax.numpy as jnp
+    from ffcnn_tpu.darknet.ir import LayerType
+    from ffcnn_tpu.graph.build import forward_features, params_to_pytree
+    from ffcnn_tpu.ops.preprocess import letterbox
+    from ffcnn_tpu.ops.yolo import concat_heads, decode_head
+
+    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLO]
+
+    def fn(p, im):
+        x = letterbox(im, size, size, jnp.zeros(3, jnp.float32),
+                      jnp.full(3, 1 / 255.0, jnp.float32), dtype=jnp.float32)
+        feats = forward_features(ir, p, x,
+                                 precision=jax.lax.Precision.HIGHEST)
+        return concat_heads([decode_head(f, l, size, size)
+                             for f, l in zip(feats, heads_meta)])
+
+    d = jax.jit(fn)(params_to_pytree(params), jnp.asarray(img[None]))
+    scores = np.asarray(d.scores)[0]
+    boxes = np.asarray(d.boxes)[0]
+    classes = np.asarray(d.classes)[0]
+    return [(int(classes[i]), float(scores[i]), *map(float, boxes[i]))
+            for i in np.nonzero(scores > 0)[0]]
 
 
 @pytest.mark.parametrize("cfg_path", CFGS, ids=[
@@ -34,6 +73,26 @@ def test_zoo_oracle_parity(cfg_path):
 
     rng = np.random.RandomState(0)
     img = rng.randint(0, 256, (size, size, 3), dtype=np.uint8)
+
+    if name in TIE_PRONE:
+        x, _, _ = numpy_ref.letterbox(img, size, size, (0.0,) * 3,
+                                      (1 / 255.0,) * 3)
+        want = numpy_ref.net_candidates(ir, params, x)
+        got = _jax_candidates(ir, params, img, size)
+        assert want, "synthetic net should emit candidates"
+        # Tolerate threshold knife-edges (float32 vs float64 conf on either
+        # side of ignore_thresh): compare the common prefix order-exactly
+        # after dropping unmatched near-threshold extras.
+        thresh = min(l.ignore_thres for l in ir.layers
+                     if l.type.name == "YOLO")
+        if len(want) != len(got):
+            keep = lambda lst: [c for c in lst if c[1] > thresh + 1e-4]
+            want, got = keep(want), keep(got)
+        assert len(want) == len(got)
+        for g, w in zip(got, want):
+            assert g[0] == w[0]
+            np.testing.assert_allclose(g[1:], w[1:], rtol=1e-3, atol=1e-3)
+        return
 
     oracle_boxes = numpy_ref.detect(ir, params, img)
     assert oracle_boxes, "synthetic net should emit at least one box"
