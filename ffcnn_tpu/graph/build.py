@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..darknet.ir import LayerType, NetIR
 from ..ops.activations import activate
-from ..ops.conv import conv2d_fused
+from ..ops.conv import conv2d_fused, conv2d_int8
 from ..ops.pool import avgpool2d, maxpool2d, upsample_nearest
 
 
@@ -57,43 +57,104 @@ def fold_input_transform(ir: NetIR, params: Dict, mean, norm) -> Dict:
 
 
 def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
-                     accum_dtype=jnp.float32, input_dtype=None) -> List:
+                     accum_dtype=jnp.float32, input_dtype=None,
+                     quant=None, blob_hook=None) -> List:
     """Run the graph body.  ``x``: (N, H, W, C) net input.  Returns the raw
     (N, h, w, 3*(5+classes)) feature map feeding each yolo layer, in graph
     order.  ``params`` is a pytree {layer_index: {weights, scale, bias}} (or
     FoldedConvParams).  A non-float ``x`` (raw uint8 pixels on the folded
-    fast path) is cast to ``input_dtype``; the cast fuses into conv-1."""
+    fast path) is cast to ``input_dtype``; the cast fuses into conv-1.
+
+    ``quant``: optional :class:`ffcnn_tpu.quant.QuantPlan` — blobs the plan
+    marks int8 are stored as int8 (with their calibrated scale baked into
+    the trace), convs reading them run on the int8 MXU, and scale
+    conversions fuse into the surrounding epilogues.
+
+    ``blob_hook(blob_index, float_value)``: calibration tap, called with
+    every blob's float value during tracing."""
     if not jnp.issubdtype(x.dtype, jnp.floating):
         x = x.astype(input_dtype or jnp.float32)
+    float_dtype = x.dtype
     nlayers = len(ir.layers)
     blobs: List[Optional[jnp.ndarray]] = [None] * (nlayers + 1)
     blobs[0] = x
     heads: List[jnp.ndarray] = []
 
+    def scale_of(bi):
+        return quant.blob_scale[bi] if quant else None
+
+    def is_q(bi):
+        return quant is not None and quant.blob_is_int8(bi)
+
+    def deq(bi, v=None):
+        """Blob bi as float (dequantize if stored int8)."""
+        v = blobs[bi] if v is None else v
+        if is_q(bi):
+            return v.astype(float_dtype) * jnp.asarray(scale_of(bi),
+                                                       float_dtype)
+        return v
+
+    def store(bi, y):
+        """Float layer result -> stored blob form (requantize if int8)."""
+        if is_q(bi):
+            s = scale_of(bi)
+            return jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / s)),
+                            -127, 127).astype(jnp.int8)
+        return y.astype(float_dtype)
+
     def run_layer(li, layer, inp):
         t = layer.type
         if t == LayerType.CONV:
+            if is_q(li) and li in quant.weights:   # int8 blob -> int8 MXU
+                q = quant.weights[li]
+                out_s = scale_of(li + 1) if is_q(li + 1) else None
+                return conv2d_int8(inp, q["wq"], scale_of(li), q["wscale"],
+                                   q["bias"], stride=layer.stride,
+                                   pad=layer.pad, groups=layer.groups,
+                                   act=layer.activation, out_scale=out_s,
+                                   float_dtype=float_dtype)
             p = params[li]
             w, scale, bias = (p["weights"], p["scale"], p["bias"]) \
                 if isinstance(p, dict) else (p.weights, p.scale, p.bias)
-            return conv2d_fused(inp, jnp.asarray(w), jnp.asarray(scale),
-                                jnp.asarray(bias), stride=layer.stride,
-                                pad=layer.pad, groups=layer.groups,
-                                act=layer.activation, precision=precision,
-                                accum_dtype=accum_dtype)
+            y = conv2d_fused(deq(li, inp), jnp.asarray(w), jnp.asarray(scale),
+                             jnp.asarray(bias), stride=layer.stride,
+                             pad=layer.pad, groups=layer.groups,
+                             act=layer.activation, precision=precision,
+                             accum_dtype=accum_dtype)
+            return store(li + 1, y) if is_q(li + 1) else y
         if t == LayerType.MAXPOOL:
+            # int8-safe: max commutes with the (positive, shared) scale
             return maxpool2d(inp, layer.fs, layer.stride)
         if t == LayerType.AVGPOOL:
-            return avgpool2d(inp, layer.fs, layer.stride)
+            return store(li + 1, avgpool2d(deq(li, inp), layer.fs,
+                                           layer.stride))
         if t == LayerType.UPSAMPLE:
             return upsample_nearest(inp, layer.stride)
         if t == LayerType.DROPOUT:
             return inp                     # inference no-op (ffcnn.c:412-416)
         if t == LayerType.SHORTCUT:
-            return activate(inp + blobs[layer.depends[0] + 1],
-                            layer.activation)
+            y = activate(deq(li, inp) + deq(layer.depends[0] + 1),
+                         layer.activation)
+            return store(li + 1, y)
         if t == LayerType.ROUTE:
-            parts = [blobs[d + 1] for d in layer.depends]
+            srcs = [d + 1 for d in layer.depends]
+            if is_q(li + 1):
+                s_out = scale_of(li + 1)
+                parts = []
+                for bi in srcs:
+                    v = blobs[bi]
+                    if is_q(bi):
+                        if scale_of(bi) == s_out:
+                            parts.append(v)      # exact passthrough
+                        else:
+                            r = jnp.asarray(scale_of(bi) / s_out, jnp.float32)
+                            parts.append(jnp.clip(
+                                jnp.round(v.astype(jnp.float32) * r),
+                                -127, 127).astype(jnp.int8))
+                    else:
+                        parts.append(store(li + 1, v))
+            else:
+                parts = [deq(bi) for bi in srcs]
             out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
             if layer.route_groups > 1:     # yolov4-tiny extension
                 gc = out.shape[-1] // layer.route_groups
@@ -101,7 +162,7 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                           (layer.route_group_id + 1) * gc]
             return out
         if t == LayerType.YOLO:
-            heads.append(inp)
+            heads.append(deq(li, inp))
             return None                    # yolo produces no blob (ffcnn.c:489)
         raise ValueError(f"unsupported layer type {t}")
 
@@ -110,6 +171,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
         # profiler rows map back to the net_dump table.
         with jax.named_scope(f"L{li:03d}_{layer.type.name.lower()}"):
             blobs[li + 1] = run_layer(li, layer, blobs[li])
+            if blob_hook is not None and blobs[li + 1] is not None:
+                blob_hook(li + 1, deq(li + 1))
     return heads
 
 

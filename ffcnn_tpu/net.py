@@ -59,8 +59,9 @@ class Detection:
 class Net:
     def __init__(self, ir: NetIR, params: Dict, *, mode: str = "fast",
                  topk: int = 128):
-        if mode not in ("fast", "parity"):
-            raise ValueError(f"mode must be 'fast' or 'parity', got {mode!r}")
+        if mode not in ("fast", "parity", "int8"):
+            raise ValueError(
+                f"mode must be 'fast', 'parity' or 'int8', got {mode!r}")
         self.ir = ir
         self.mode = mode
         self.topk = topk
@@ -68,6 +69,7 @@ class Net:
         self._pipelines: Dict[tuple, object] = {}
         self._forwards: Dict[tuple, object] = {}
         self.timeused: Dict[str, float] = {}
+        self.quant = None          # QuantPlan once calibrate() ran (int8 mode)
         if mode == "parity":
             self._dtype = jnp.float32
             self._precision = jax.lax.Precision.HIGHEST
@@ -138,8 +140,29 @@ class Net:
 
     def _can_fold_input(self) -> bool:
         first = self.ir.layers[0]
-        return (self.mode == "fast" and first.type == LayerType.CONV
+        return (self.mode in ("fast", "int8") and first.type == LayerType.CONV
                 and first.groups == 1)
+
+    # ------------------------------------------------------------- int8 mode
+    def calibrate(self, images, mean=None, norm=None,
+                  min_channels: int = 32) -> None:
+        """int8 mode: collect per-blob activation ranges from ``images``
+        (uint8 BGR, (N, H, W, 3) at the net input size or any letterboxable
+        size) and build the quantization plan (quant.py).  Compiled
+        pipelines are invalidated; the next detect() traces the int8 graph.
+
+        The reference has no quantized path; the accuracy contract here is
+        the fast-mode one — same objects as the float pipeline, boxes within
+        tolerance (tests/test_int8.py, bench.py int8 gate)."""
+        if self.mode != "int8":
+            raise ValueError("calibrate() applies to mode='int8'")
+        from .quant import calibrate as _calib
+        self.quant = _calib(self.ir, self.params, images,
+                            mean=tuple(mean or DEFAULT_MEAN),
+                            norm=tuple(norm or DEFAULT_NORM),
+                            min_channels=min_channels)
+        self._pipelines.clear()
+        self._forwards.clear()
 
     def _max_candidates(self) -> int:
         """Total YOLO candidates the model can emit at its input size — the
@@ -164,6 +187,8 @@ class Net:
         dtype, precision = self._dtype, self._precision
         topk = self.topk if topk is None else topk
 
+        quant = self.quant
+
         def pipeline(params, bgr, mean, norm):
             if folded:
                 params = fold_input_transform(ir, params, mean, norm)
@@ -171,7 +196,7 @@ class Net:
             else:
                 x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
             feats = forward_features(ir, params, x, precision=precision,
-                                     input_dtype=dtype)
+                                     input_dtype=dtype, quant=quant)
             decoded = concat_heads([
                 decode_head(f, l, net_w, net_h)
                 for f, l in zip(feats, heads_meta)])
@@ -232,6 +257,13 @@ class Net:
         Used by detect(), benchmarks, and serving.  ``topk`` overrides the
         net default for this call (a new value compiles a new bucket)."""
         n, h, w, _ = batch.shape
+        if self.mode == "int8" and self.quant is None:
+            # Self-calibration: ranges from the first batch (deterministic;
+            # call calibrate() explicitly with a representative set for
+            # production).
+            self.calibrate(np.asarray(batch)[: min(8, n)],
+                           mean=tuple(np.asarray(mean).tolist()),
+                           norm=tuple(np.asarray(norm).tolist()))
         fn = self._pipeline_for(h, w, mean, norm, topk)
         t0 = time.perf_counter()
         res = fn(self.params, jnp.asarray(batch),

@@ -48,3 +48,37 @@ def conv2d_fused(x, weights, scale, bias, *, stride: int, pad: int,
     )
     y = y * scale.astype(accum_dtype) + bias.astype(accum_dtype)
     return activate(y, act).astype(x.dtype)
+
+
+def conv2d_int8(xq, wq, x_scale: float, w_scale, bias, *, stride: int,
+                pad: int, groups: int, act: int, out_scale=None,
+                float_dtype=jnp.bfloat16):
+    """Quantized conv: int8 activations x int8 weights -> int32 MXU
+    accumulation, float epilogue, optional requantize.
+
+    * ``xq``: (N, H, W, C) int8 with per-tensor ``x_scale``
+    * ``wq``: (fs, fs, C/groups, fn) int8, per-output-channel ``w_scale``
+      (the BN-fold scale is already inside wq — see quant.build_plan)
+    * epilogue: ``act(acc * (x_scale * w_scale) + bias)`` in f32
+    * ``out_scale``: if set, requantize the result to int8 at that scale;
+      otherwise emit ``float_dtype``.
+
+    The int8 MXU runs at 2x the bf16 rate and int8 blobs halve HBM traffic
+    (the actual win on this memory-bound net); the requant/dequant
+    elementwise ops fuse into the conv epilogue.
+    """
+    acc = lax.conv_general_dilated(
+        xq, wq,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    eff = (w_scale.astype(jnp.float32) * jnp.float32(x_scale))
+    y = acc.astype(jnp.float32) * eff + bias.astype(jnp.float32)
+    y = activate(y, act)
+    if out_scale is None:
+        return y.astype(float_dtype)
+    return jnp.clip(jnp.round(y * jnp.float32(1.0 / out_scale)),
+                    -127, 127).astype(jnp.int8)
