@@ -58,7 +58,8 @@ def fold_input_transform(ir: NetIR, params: Dict, mean, norm) -> Dict:
 
 def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                      accum_dtype=jnp.float32, input_dtype=None,
-                     quant=None, blob_hook=None) -> List:
+                     quant=None, blob_hook=None, fused_runs=None,
+                     fused_interpret: bool = False) -> List:
     """Run the graph body.  ``x``: (N, H, W, C) net input.  Returns the raw
     (N, h, w, 3*(5+classes)) feature map feeding each yolo layer, in graph
     order.  ``params`` is a pytree {layer_index: {weights, scale, bias}} (or
@@ -71,7 +72,13 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     conversions fuse into the surrounding epilogues.
 
     ``blob_hook(blob_index, float_value)``: calibration tap, called with
-    every blob's float value during tracing."""
+    every blob's float value during tracing.
+
+    ``fused_runs``: optional list of kernels.block_fused.FusedRun — each run
+    of [pw, dw3x3, pw(, dropout, shortcut)] blocks executes as Pallas fused
+    kernels (expand intermediates stay in VMEM); the interior layers are
+    skipped and their blobs never materialize (eligibility guarantees no
+    other consumers)."""
     if not jnp.issubdtype(x.dtype, jnp.floating):
         x = x.astype(input_dtype or jnp.float32)
     float_dtype = x.dtype
@@ -166,7 +173,24 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             return None                    # yolo produces no blob (ffcnn.c:489)
         raise ValueError(f"unsupported layer type {t}")
 
+    run_map = {r.start: r for r in (fused_runs or [])}
+    skip_until = -1
     for li, layer in enumerate(ir.layers):
+        if li < skip_until:
+            continue
+        if li in run_map:
+            from ..kernels.block_fused import apply_run
+            r = run_map[li]
+            with jax.named_scope(f"L{li:03d}_fusedrun_to_{r.end:03d}"):
+                y = apply_run(deq(li), ir, params, r,
+                              interpret=fused_interpret)
+                # boundary blobs keep their quant-plan storage so the int8
+                # pipeline is identical with or without fusion active
+                blobs[r.end + 1] = store(r.end + 1, y)
+            skip_until = r.end + 1
+            if blob_hook is not None:
+                blob_hook(r.end + 1, blobs[r.end + 1])
+            continue
         # named_scope tags every op with its layer, so HLO fusions and
         # profiler rows map back to the net_dump table.
         with jax.named_scope(f"L{li:03d}_{layer.type.name.lower()}"):

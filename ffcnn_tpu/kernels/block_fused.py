@@ -1,0 +1,279 @@
+"""Fused inverted-residual block kernel: pw-expand -> dw3x3 -> pw-project
+(+ residual), one Pallas launch per run of blocks, expand intermediates
+never touch HBM.
+
+WHY: the backbone stages run at the HBM bound of per-layer materialization
+— XLA fuses each conv's epilogue but still round-trips every expand blob
+(e.g. 256x20x20x136 bf16 = 28 MB) through HBM.  The reference's analog is
+conv-v6's fused fast paths (conv-v6.c:46-465): same 1x1 + depthwise-3x3
+ops, fused there for cache locality, fused here for HBM traffic.
+
+LAYOUT (the part that makes it work on TPU): ``(H, C, W*N)`` — channels on
+sublanes, width x batch on lanes.  With batch a multiple of 128, the dw
+taps' spatial shifts are *lane-tile-aligned* slices (dx -> +-N lanes,
+dy -> row indexing), needing none of the 32-bit-only lane rotates that
+killed the round-1 channels-first attempt (docs/PERF_NOTES.md).  The two
+pw convs are MXU ``dot_general``s contracting C on sublanes.  A plain NHWC
+blocked variant was measured 3-20x SLOWER than XLA (C<128 lane padding
+starves the VPU) — that negative result lives in docs/PERF_NOTES.md.
+
+Measured (v5e, batch 256, vs the XLA conv chain): 1.8x at 20x20/C24/E136,
+1.5x at 10x10/C48/E224; C<=16 stages lose (bf16 sublane padding) and stay
+on XLA — ``MIN_CHANNELS`` gates integration.
+
+Halo: two extra single-row BlockSpecs per step (index maps clamp at the
+edges); the dw's zero padding is applied to the pw-expand OUTPUT at the
+true image boundary (pw1 of a zero row is act(bias), not zero).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..darknet.ir import LayerType, NetIR
+from ..ops.activations import activate
+
+# Stage gate: blocks whose input channel count is below this run faster on
+# the XLA path (bf16 sublane padding at C<=16 eats the fusion win; A/B
+# measured on v5e — see module docstring).
+MIN_CHANNELS = 24
+# Batch must be lane-tile aligned so dw shifts are tile-aligned lane slices.
+BATCH_QUANTUM = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedBlock:
+    """One fusable [pw 1x1, dw 3x3 s1, pw 1x1 (, dropout, shortcut)] run.
+    ``start``: index of the expand conv; ``end``: index of the last fused
+    layer (project conv or shortcut); ``residual``: add the block input."""
+    start: int
+    end: int
+    residual: bool
+    res_act: int            # shortcut activation (linear in yolo-fastest)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedRun:
+    """Consecutive FusedBlocks sharing one layout round-trip."""
+    start: int
+    end: int
+    blocks: Tuple[FusedBlock, ...]
+
+
+def find_fused_blocks(ir: NetIR) -> Dict[int, FusedBlock]:
+    """Locate fusable triples whose intermediate blobs have no consumers
+    outside the block (so eliminating them is safe)."""
+    layers = ir.layers
+    # Blobs referenced by route/shortcut `depends` — the only way a blob is
+    # read outside the sequential layer chain.
+    referenced = set()
+    for l in layers:
+        if l.type in (LayerType.ROUTE, LayerType.SHORTCUT):
+            referenced.update(d + 1 for d in l.depends)
+
+    out: Dict[int, FusedBlock] = {}
+    li = 0
+    while li + 2 < len(layers):
+        a, b, c = layers[li], layers[li + 1], layers[li + 2]
+        ok = (a.type == LayerType.CONV and a.fs == 1 and a.stride == 1
+              and a.groups == 1
+              and b.type == LayerType.CONV and b.fs == 3 and b.stride == 1
+              and b.groups == a.fn and b.fn == a.fn and b.pad == 1
+              and c.type == LayerType.CONV and c.fs == 1 and c.stride == 1
+              and c.groups == 1)
+        if not ok:
+            li += 1
+            continue
+        # residual variant: [triple, dropout, shortcut(from=block input)];
+        # internal blobs li+1..li+4 must not be route/shortcut sources
+        if (li + 4 < len(layers)
+                and layers[li + 3].type == LayerType.DROPOUT
+                and layers[li + 4].type == LayerType.SHORTCUT
+                and layers[li + 4].depends[0] + 1 == li        # adds block in
+                and ir.blobs[li].c == c.fn
+                and not referenced & {li + 1, li + 2, li + 3, li + 4}):
+            out[li] = FusedBlock(start=li, end=li + 4, residual=True,
+                                 res_act=layers[li + 4].activation)
+            li += 5
+            continue
+        if not referenced & {li + 1, li + 2}:   # plain triple
+            out[li] = FusedBlock(start=li, end=li + 2, residual=False,
+                                 res_act=0)
+            li += 3
+            continue
+        li += 1
+    return out
+
+
+def plan_runs(ir: NetIR, min_channels: int = MIN_CHANNELS) -> List[FusedRun]:
+    """Group eligible blocks into maximal consecutive runs sharing one
+    layout round-trip.  A block joins only when its input blob has
+    >= min_channels channels (the measured XLA/kernel crossover).  Two
+    adjacent blocks chain when the boundary blob between them is referenced
+    ONLY from inside the second block (its own residual shortcut — which
+    the kernel satisfies internally); any outside reference forces the
+    boundary blob to materialize, ending the run there."""
+    blocks = find_fused_blocks(ir)
+    eligible = [b for s, b in sorted(blocks.items())
+                if ir.blobs[b.start].c >= min_channels]
+    ref_layers: Dict[int, List[int]] = {}
+    for li, l in enumerate(ir.layers):
+        if l.type in (LayerType.ROUTE, LayerType.SHORTCUT):
+            for d in l.depends:
+                ref_layers.setdefault(d + 1, []).append(li)
+
+    def chainable(prev: FusedBlock, nxt: FusedBlock) -> bool:
+        if prev.end + 1 != nxt.start:
+            return False
+        boundary = prev.end + 1              # == nxt.start (its input blob)
+        return all(nxt.start <= li <= nxt.end
+                   for li in ref_layers.get(boundary, []))
+
+    runs: List[FusedRun] = []
+    cur: List[FusedBlock] = []
+    for b in eligible:
+        if cur and chainable(cur[-1], b):
+            cur.append(b)
+        else:
+            if cur:
+                runs.append(FusedRun(cur[0].start, cur[-1].end, tuple(cur)))
+            cur = [b]
+    if cur:
+        runs.append(FusedRun(cur[0].start, cur[-1].end, tuple(cur)))
+    return runs
+
+
+def _block_params(params, b: FusedBlock):
+    """(w1t (E,C), s1, b1, kdw (3,3,E), s2, b2, w2t (P,E), s3, b3) as f32
+    column vectors for sublane broadcasting."""
+    def get(li):
+        p = params[li]
+        w, s, bb = (p["weights"], p["scale"], p["bias"]) \
+            if isinstance(p, dict) else (p.weights, p.scale, p.bias)
+        return (jnp.asarray(w, jnp.float32), jnp.asarray(s, jnp.float32),
+                jnp.asarray(bb, jnp.float32))
+    w1, s1, b1 = get(b.start)
+    kdw, s2, b2 = get(b.start + 1)
+    w2, s3, b3 = get(b.start + 2)
+    c, e = w1.shape[2], w1.shape[3]
+    p_ = w2.shape[3]
+    return (jnp.transpose(w1.reshape(c, e)), s1[:, None], b1[:, None],
+            kdw.reshape(3, 3, e), s2[:, None], b2[:, None],
+            jnp.transpose(w2.reshape(e, p_)), s3[:, None], b3[:, None])
+
+
+def _make_kernel(rows: int, width: int, n: int, acts, residual: bool,
+                 res_act: int):
+    R, W, N = rows, width, n
+
+    def kern(xt, xc, xb, w1, s1, b1, kdw, s2, b2, w2, s3, b3, o_ref):
+        h = pl.program_id(0)
+        nh = pl.num_programs(0)
+        E = w1.shape[0]
+        S = W * N
+        src = [xt[0], *[xc[r] for r in range(R)], xb[0]]
+        h1 = []
+        for idx, xr in enumerate(src):
+            a = lax.dot_general(w1[...], xr.astype(jnp.float32),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            a = activate(a * s1[...] + b1[...], acts[0])
+            # dw zero padding applies AFTER the pw epilogue: at the image's
+            # top/bottom the halo row of h1 itself must be zero
+            if idx == 0:
+                a = jnp.where(h == 0, 0.0, a)
+            if idx == R + 1:
+                a = jnp.where(h == nh - 1, 0.0, a)
+            h1.append(jnp.pad(a, ((0, 0), (N, N))))    # W-edge zero pad
+        outs = []
+        for r in range(R):
+            acc = jnp.zeros((E, S), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    acc = acc + (h1[r + dy][:, dx * N: dx * N + S]
+                                 * kdw[dy, dx][:, None])
+            h2 = activate(acc * s2[...] + b2[...], acts[1])
+            y = lax.dot_general(w2[...], h2, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            y = activate(y * s3[...] + b3[...], acts[2])
+            if residual:
+                y = activate(y + xc[r].astype(jnp.float32), res_act)
+            outs.append(y)
+        o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
+
+    return kern
+
+
+def _pick_rows(h: int, e: int, s: int) -> int:
+    """Rows per grid step: bound the f32 working set (~(R+2) expand rows)."""
+    budget = 48 << 20
+    for r in (8, 5, 4, 2, 1):
+        if h % r == 0 and (r + 2) * e * (s + 512) * 4 * 2 <= budget:
+            return r
+    return 1
+
+
+def _cs_block(x, params9, acts, residual: bool, res_act: int,
+              width: int, n: int, interpret: bool = False):
+    """One block in (H, C, W*N) layout -> (H, P, W*N)."""
+    hh, cc, s = x.shape
+    w1 = params9[0]
+    e, p_ = w1.shape[0], params9[6].shape[0]
+    r = _pick_rows(hh, e, s)
+    kern = _make_kernel(r, width, n, acts, residual, res_act)
+    top = pl.BlockSpec((1, cc, s),
+                       lambda i: (jnp.maximum(i * r - 1, 0), 0, 0),
+                       memory_space=pltpu.VMEM)
+    cur = pl.BlockSpec((r, cc, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((1, cc, s),
+                       lambda i: (jnp.minimum((i + 1) * r, hh - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(hh // r,),
+        in_specs=[top, cur, bot] + [full()] * 9,
+        out_specs=pl.BlockSpec((r, p_, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hh, p_, s), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, x, *params9)
+
+
+def apply_run(x, ir: NetIR, params, run: FusedRun, *,
+              interpret: bool = False):
+    """Run a chain of fused blocks on an NHWC input blob: one layout
+    round-trip (NHWC -> (H, C, W*N) -> NHWC) around the whole run."""
+    n, hh, ww, cc = x.shape
+    xc = jnp.transpose(x, (1, 3, 2, 0)).reshape(hh, cc, ww * n)
+    for b in run.blocks:
+        acts = (ir.layers[b.start].activation,
+                ir.layers[b.start + 1].activation,
+                ir.layers[b.start + 2].activation)
+        xc = _cs_block(xc, _block_params(params, b), acts, b.residual,
+                       b.res_act, ww, n, interpret=interpret)
+    p_ = xc.shape[1]
+    return jnp.transpose(xc.reshape(hh, p_, ww, n), (3, 0, 2, 1))
+
+
+def runs_usable(x_batch: int, backend: Optional[str] = None) -> bool:
+    """Gate: lane-tile-aligned batch, TPU backend (tests force interpret),
+    and the FFCNN_FUSED env kill-switch (default on)."""
+    import os
+    if os.environ.get("FFCNN_FUSED", "1") == "0":
+        return False
+    if x_batch % BATCH_QUANTUM != 0:
+        return False
+    if backend is None:
+        backend = jax.default_backend()
+    return backend == "tpu"

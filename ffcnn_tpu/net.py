@@ -70,6 +70,14 @@ class Net:
         self._forwards: Dict[tuple, object] = {}
         self.timeused: Dict[str, float] = {}
         self.quant = None          # QuantPlan once calibrate() ran (int8 mode)
+        # Fused inverted-residual runs (Pallas, kernels/block_fused.py):
+        # traced in when the batch is lane-tile aligned on TPU; parity mode
+        # keeps the pure-XLA path for bit parity with the C reference.
+        if mode in ("fast", "int8"):
+            from .kernels.block_fused import plan_runs
+            self._fused_runs = plan_runs(ir)
+        else:
+            self._fused_runs = []
         if mode == "parity":
             self._dtype = jnp.float32
             self._precision = jax.lax.Precision.HIGHEST
@@ -157,6 +165,10 @@ class Net:
         if self.mode != "int8":
             raise ValueError("calibrate() applies to mode='int8'")
         from .quant import calibrate as _calib
+        # Fused Pallas runs compose cleanly with the plan: run boundary
+        # blobs keep their planned storage (the graph builder requantizes
+        # the run output), and the runs' interior blobs simply never
+        # materialize — their plan entries go unused when fusion is active.
         self.quant = _calib(self.ir, self.params, images,
                             mean=tuple(mean or DEFAULT_MEAN),
                             norm=tuple(norm or DEFAULT_NORM),
@@ -188,15 +200,20 @@ class Net:
         topk = self.topk if topk is None else topk
 
         quant = self.quant
+        fused_runs = self._fused_runs
 
         def pipeline(params, bgr, mean, norm):
+            from .kernels.block_fused import runs_usable
+            runs = fused_runs if (fused_runs
+                                  and runs_usable(bgr.shape[0])) else None
             if folded:
                 params = fold_input_transform(ir, params, mean, norm)
                 x = letterbox_uint8(bgr, net_w, net_h)
             else:
                 x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
             feats = forward_features(ir, params, x, precision=precision,
-                                     input_dtype=dtype, quant=quant)
+                                     input_dtype=dtype, quant=quant,
+                                     fused_runs=runs)
             decoded = concat_heads([
                 decode_head(f, l, net_w, net_h)
                 for f, l in zip(feats, heads_meta)])

@@ -92,13 +92,12 @@ def _keep_mask_sweep(top_boxes, top_scores, top_classes, k, threshold):
         return ~done
 
     def body(state):
-        # Two sweeps per trip: halves the while-loop's per-iteration cond
-        # overhead (each sweep is cheap; the loop machinery isn't).  The
-        # fixpoint test compares across the pair, which is still exact:
-        # convergence of the monotone map is convergence.
+        # NOTE(perf): one sweep per trip.  A 2-sweeps-per-trip variant (to
+        # amortize the cond) was measured SLOWER in-net on v5e — the extra
+        # sweep costs more than the loop overhead it saves (device trace:
+        # while+sweep fusions 118us -> 466us).  Don't redo it.
         keep, _ = state
-        mid = sweep(keep)
-        new = sweep(mid)
+        new = sweep(keep)
         return new, jnp.array_equal(new, keep)
 
     keep, _ = lax.while_loop(cond, body, (alive0, jnp.asarray(False)))

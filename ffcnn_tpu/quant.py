@@ -48,7 +48,8 @@ class QuantPlan:
         return bi in self.blob_scale
 
 
-def _int8_blobs(ir: NetIR, min_channels: int) -> List[int]:
+def _int8_blobs(ir: NetIR, min_channels: int,
+                exclude: Optional[set] = None) -> List[int]:
     """Blob indices eligible for int8 storage.  Excludes the net input
     (uint8 pixels), YOLO head inputs (decode precision), and small-C blobs
     (int8 (32,128) tiling inflates them)."""
@@ -62,6 +63,8 @@ def _int8_blobs(ir: NetIR, min_channels: int) -> List[int]:
     for bi in range(1, len(ir.blobs)):
         if bi in head_inputs or bi in head_conv_inputs:
             continue
+        if exclude and bi in exclude:
+            continue                     # e.g. fused-run blobs (float path)
         li = bi - 1                      # producing layer
         if li < len(ir.layers) and ir.layers[li].type == LayerType.YOLO:
             continue                     # yolo layers produce no blob
@@ -99,11 +102,12 @@ def collect_blob_absmax(ir: NetIR, params, images, mean, norm) -> np.ndarray:
 
 
 def build_plan(ir: NetIR, params, absmax: np.ndarray,
-               min_channels: int = 32) -> QuantPlan:
+               min_channels: int = 32,
+               exclude_blobs: Optional[set] = None) -> QuantPlan:
     """Quantize weights + assign blob scales from calibrated absmax."""
     import jax.numpy as jnp
 
-    int8_set = set(_int8_blobs(ir, min_channels))
+    int8_set = set(_int8_blobs(ir, min_channels, exclude_blobs))
     # scale-preserving layers (max/repeat/identity commute with a positive
     # scale) tie their output's scale to their input blob's, so passing
     # through them is an exact int8 roundtrip
@@ -150,10 +154,11 @@ def build_plan(ir: NetIR, params, absmax: np.ndarray,
 
 
 def calibrate(ir: NetIR, params, images, mean=(0.0, 0.0, 0.0),
-              norm=(1 / 255.0,) * 3, min_channels: int = 32) -> QuantPlan:
+              norm=(1 / 255.0,) * 3, min_channels: int = 32,
+              exclude_blobs: Optional[set] = None) -> QuantPlan:
     """One-call calibration: float statistics pass + plan construction."""
     images = np.asarray(images)
     if images.ndim == 3:
         images = images[None]
     absmax = collect_blob_absmax(ir, params, images, mean, norm)
-    return build_plan(ir, params, absmax, min_channels)
+    return build_plan(ir, params, absmax, min_channels, exclude_blobs)
