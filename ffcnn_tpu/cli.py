@@ -26,7 +26,7 @@ DEFAULT_WEIGHTS = "/root/reference/yolo-fastest-1.1.weights"
 def _add_model_args(p):
     p.add_argument("--cfg", default=DEFAULT_CFG)
     p.add_argument("--weights", default=DEFAULT_WEIGHTS)
-    p.add_argument("--mode", choices=("fast", "parity"), default="parity")
+    p.add_argument("--mode", choices=("fast", "parity", "int8"), default="parity")
 
 
 def cmd_detect(args) -> int:

@@ -125,6 +125,11 @@ class Net:
         batch sizes (serving cold-start control; combine with
         enable_compile_cache() to persist across processes).  Defaults to
         the model's own input size."""
+        if self.mode == "int8" and self.quant is None:
+            raise RuntimeError(
+                "int8 mode: call calibrate(images) with representative "
+                "frames before warmup() — calibrating on the zero probe "
+                "images would produce garbage activation scales")
         net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
         for (h, w) in (image_sizes or [(net_h, net_w)]):
             for n in batch_sizes:

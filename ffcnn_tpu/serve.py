@@ -283,7 +283,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cfg", default="/root/reference/yolo-fastest-1.1.cfg")
     ap.add_argument("--weights",
                     default="/root/reference/yolo-fastest-1.1.weights")
-    ap.add_argument("--mode", choices=("fast", "parity"), default="fast")
+    ap.add_argument("--mode", choices=("fast", "parity", "int8"), default="fast")
+    ap.add_argument("--calib", nargs="*", default=None,
+                    help="representative BMP frames for int8 calibration "
+                         "(required with --mode int8)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--cache-dir", default=None)
@@ -292,6 +295,12 @@ def main(argv=None) -> int:
     from . import Net
     net = Net.load(args.cfg, args.weights, mode=args.mode,
                    cache_dir=args.cache_dir)
+    if args.mode == "int8":
+        if not args.calib:
+            ap.error("--mode int8 requires --calib <frame.bmp> [...]")
+        import numpy as np
+        from .imageio.bmp import bmp_load
+        net.calibrate(np.stack([bmp_load(p) for p in args.calib]))
     service = DetectorService(net)
     server = make_server(service, args.host, args.port)
     threading.Thread(target=service.warmup, daemon=True).start()
