@@ -206,11 +206,18 @@ class Net:
 
         quant = self.quant
         fused_runs = self._fused_runs
+        net_params = self.params
 
-        def pipeline(params, bgr, mean, norm):
+        # self.params is captured as a trace-time CONSTANT, not an argument:
+        # the weights are baked into the executable (1.4 MB), so each
+        # dispatch ships 3 buffer handles instead of ~400 (131 layers x 3
+        # leaves) — dispatch overhead through the axon tunnel was ~20% of
+        # wall time per batch.  A new Net compiles new programs anyway.
+        def pipeline(bgr, mean, norm):
             from .kernels.block_fused import runs_usable
             runs = fused_runs if (fused_runs
                                   and runs_usable(bgr.shape[0])) else None
+            params = net_params
             if folded:
                 params = fold_input_transform(ir, params, mean, norm)
                 x = letterbox_uint8(bgr, net_w, net_h)
@@ -288,7 +295,7 @@ class Net:
                            norm=tuple(np.asarray(norm).tolist()))
         fn = self._pipeline_for(h, w, mean, norm, topk)
         t0 = time.perf_counter()
-        res = fn(self.params, jnp.asarray(batch),
+        res = fn(jnp.asarray(batch),
                  jnp.asarray(mean, jnp.float32), jnp.asarray(norm, jnp.float32))
         self.timeused["detect"] = self.timeused.get("detect", 0.0) + (
             time.perf_counter() - t0)
