@@ -77,6 +77,28 @@ def test_fused_forward_matches_xla_micro(min_channels):
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("name,size", [("yolo-fastest-xl", 160)])
+def test_fused_forward_matches_xla_zoo(name, size):
+    """Fused runs must be model-generic: the XL family (2x width, same
+    block dialect) through forward_features with and without fusion."""
+    import os
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ir = parse_cfg(os.path.join(REPO, "models", f"{name}.cfg"), size, size)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=5, obj_bias=0.0))[0])
+    runs = plan_runs(ir)
+    assert runs, f"{name} should have fusable C>=24 runs"
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, size, size, 3).astype(np.float32))
+    ref = forward_features(ir, params, x)
+    got = forward_features(ir, params, x, fused_runs=runs,
+                           fused_interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_fused_run_chain_matches_xla_flagship_stage():
     """The real 20x20 stage (4 chained residual blocks, C24/E136) through
     apply_run vs the XLA path, interpret mode."""
