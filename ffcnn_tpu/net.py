@@ -113,12 +113,21 @@ class Net:
         """net_dump-compatible layer table (ffcnn.c:522-548)."""
         return cfg_mod.dump(self.ir)
 
-    def profile(self) -> str:
-        """net_profile-style report (ffcnn.c:550): wall ms per pipeline stage
-        accumulated across detect() calls."""
+    def profile(self, per_type: bool = False, batch=None) -> str:
+        """net_profile-style report (ffcnn.c:550).
+
+        Default: cumulative host wall ms per API bucket across detect()
+        calls (cheap, always available — but through the axon tunnel wall
+        time includes dispatch/RTT).  ``per_type=True`` additionally runs a
+        short profiled burst and renders the per-layer-TYPE device-time
+        table the C ``net_profile`` prints — that is the trustworthy
+        number; see also :meth:`profile_layers` for per-layer rows."""
         lines = [f"{k:>12s}: {v * 1000:8.1f} ms" for k, v in
                  self.timeused.items()]
-        return "\n".join(lines) + ("\n" if lines else "")
+        out = "\n".join(lines) + ("\n" if lines else "")
+        if per_type:
+            out += self.profile_layers(batch=batch).render(per_layer=False)
+        return out
 
     def warmup(self, image_sizes=None, batch_sizes=(1,)) -> None:
         """Precompile pipeline buckets for the given (H, W) image sizes and
@@ -327,11 +336,11 @@ class Net:
         key = ("fwd", tuple(x.shape))
         fn = self._forwards.get(key)
         if fn is None:
-            ir, precision = self.ir, self._precision
-            fn = jax.jit(lambda p, xx: forward_features(
-                ir, p, xx, precision=precision))
+            ir, precision, params = self.ir, self._precision, self.params
+            fn = jax.jit(lambda xx: forward_features(
+                ir, params, xx, precision=precision))
             self._forwards[key] = fn
-        return fn(self.params, jnp.asarray(x, self._dtype))
+        return fn(jnp.asarray(x, self._dtype))
 
 
 def load(cfg_path: str, weights_path: Optional[str] = None, *,

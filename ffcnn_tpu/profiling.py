@@ -44,9 +44,10 @@ class ProfileReport:
     total_us: float
     iters: int
 
-    def render(self) -> str:
+    def render(self, per_layer: bool = True) -> str:
         """net_profile-style text report (per layer type, like
-        NET.timeused[] ffcnn.h:45), followed by the per-layer table."""
+        NET.timeused[] ffcnn.h:45), followed (optionally) by the per-layer
+        table."""
         lines = ["profile (device us per step, %d steps averaged):"
                  % self.iters]
         for name, us in sorted(self.by_type.items(), key=lambda kv: -kv[1]):
@@ -56,6 +57,8 @@ class ProfileReport:
                      % ("(pre/post)", self.other_us,
                         100 * self.other_us / max(1e-9, self.total_us)))
         lines.append("  %-10s %10.1f us" % ("total", self.total_us))
+        if not per_layer:
+            return "\n".join(lines) + "\n"
         lines.append("")
         lines.append("%4s %-9s %-40s %10s" % ("idx", "type", "layer",
                                               "us/step"))
