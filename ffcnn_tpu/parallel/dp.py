@@ -28,13 +28,22 @@ from .mesh import MODEL_AXIS, batch_sharding, replicated
 def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
                            dtype=jnp.bfloat16, precision=None, topk: int = 128,
                            nms_threshold: float = 0.5,
-                           shard_filters: bool = False):
+                           shard_filters: bool = False, quant=None):
     """Return a jitted ``(params, uint8 batch, mean, norm) -> NMSResult``
     with the batch sharded over the mesh data axis.
 
     ``shard_filters=True`` additionally constrains each conv's output-channel
     dim to the ``model`` axis (tensor parallelism) — overkill for darknet-
-    scale models but exercises the TP path end-to-end."""
+    scale models but exercises the TP path end-to-end.
+
+    ``quant``: optional QuantPlan (quant.py) — int8 composes freely with DP
+    (no collectives touch the quantized blobs; int8 weights replicate like
+    float ones).  Not combined with shard_filters: the per-output-channel
+    weight scales would need the same sharding as the filters.  Fused
+    Pallas runs are NOT traced here: a pallas_call under pjit would need
+    shard_map partitioning — single-device pipelines get them instead."""
+    if quant is not None and shard_filters:
+        raise ValueError("int8 quant + filter sharding not supported yet")
     net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
     _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
     heads_meta = [l for l in ir.layers if l.type == LayerType.YOLO]
@@ -44,7 +53,8 @@ def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
     def pipeline(params, bgr, mean, norm):
         x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
         x = jax.lax.with_sharding_constraint(x, bshard)
-        feats = forward_features(ir, params, x, precision=precision)
+        feats = forward_features(ir, params, x, precision=precision,
+                                 quant=quant)
         decoded = concat_heads([
             decode_head(f.astype(jnp.float32), l, net_w, net_h)
             for f, l in zip(feats, heads_meta)])

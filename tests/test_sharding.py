@@ -123,3 +123,42 @@ def test_tp_filter_sharding_compiles_and_matches():
                jnp.zeros(3), jnp.full(3, 1 / 255.0))
     np.testing.assert_allclose(np.asarray(res.scores),
                                np.asarray(res1.scores), atol=1e-5)
+
+
+def test_dp_int8_equivalence(ref_cfg, ref_weights):
+    """int8 composes with DP: the int8 pipeline sharded over the 8-device
+    mesh is bit-equal to the same pipeline on a 1-device mesh (DP must be
+    invisible to numerics — int8 requant included)."""
+    import jax.numpy as jnp
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
+    from ffcnn_tpu.parallel import build_sharded_pipeline, make_mesh
+    import conftest
+
+    img = bmp_load(conftest.fixture_path("test320.bmp"))
+    net = Net.load(ref_cfg, ref_weights, mode="int8")
+    net.calibrate(img[None])
+
+    rng = np.random.RandomState(0)
+    batch = np.broadcast_to(img, (8,) + img.shape).copy()
+    batch[1:] = np.clip(batch[1:].astype(np.int16)
+                        + rng.randint(0, 10, batch[1:].shape), 0,
+                        255).astype(np.uint8)
+    bj = jnp.asarray(batch)
+    mean = jnp.zeros(3, jnp.float32)
+    norm = jnp.full(3, 1 / 255.0, jnp.float32)
+
+    fn8, place8 = build_sharded_pipeline(net.ir, make_mesh(jax.devices()[:8]),
+                                         320, 320, dtype=jnp.float32,
+                                         quant=net.quant)
+    got = fn8(place8(net.params), bj, mean, norm)
+    fn1, place1 = build_sharded_pipeline(net.ir, make_mesh(jax.devices()[:1]),
+                                         320, 320, dtype=jnp.float32,
+                                         quant=net.quant)
+    want = fn1(place1(net.params), bj, mean, norm)
+
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(want.count))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(want.scores), atol=1e-5)
+    assert int(np.asarray(got.count).sum()) >= 8   # actually detects things
