@@ -162,3 +162,17 @@ def test_dp_int8_equivalence(ref_cfg, ref_weights):
     np.testing.assert_allclose(np.asarray(got.scores),
                                np.asarray(want.scores), atol=1e-5)
     assert int(np.asarray(got.count).sum()) >= 8   # actually detects things
+
+
+def test_tp_sharding_report():
+    """The TP fall-back to replication is reported, not silent."""
+    ir, params = _tiny_net()
+    mesh = make_mesh(model_parallel=2)
+    fn, place = build_sharded_pipeline(ir, mesh, 64, 64, dtype=jnp.float32,
+                                       shard_filters=True)
+    place(params)
+    rep = place.report
+    # tiny net: conv0 fn=8 (shardable by 2), depthwise fn=8, head fn=255
+    # (255 % 2 != 0 -> replicated)
+    assert any(fn_ == 255 for _, fn_ in rep["replicated"])
+    assert rep["sharded"], rep
