@@ -190,6 +190,15 @@ class Net:
         self._pipelines.clear()
         self._forwards.clear()
 
+    def set_quant_plan(self, plan) -> None:
+        """Install a previously saved calibration (quant.load_plan) —
+        serving restarts reuse calibration instead of re-running it."""
+        if self.mode != "int8":
+            raise ValueError("set_quant_plan() applies to mode='int8'")
+        self.quant = plan
+        self._pipelines.clear()
+        self._forwards.clear()
+
     def _max_candidates(self) -> int:
         """Total YOLO candidates the model can emit at its input size — the
         analog of the reference's bbox arena capacity (ffcnn.c:243)."""

@@ -162,3 +162,41 @@ def calibrate(ir: NetIR, params, images, mean=(0.0, 0.0, 0.0),
         images = images[None]
     absmax = collect_blob_absmax(ir, params, images, mean, norm)
     return build_plan(ir, params, absmax, min_channels, exclude_blobs)
+
+
+def save_plan(path: str, plan: QuantPlan) -> None:
+    """Persist a calibrated plan as npz (atomic publish) so serving
+    restarts reuse calibration instead of re-running it — the int8 analog
+    of the folded-params cache (darknet/cache.py)."""
+    import os
+    import tempfile
+    arrays = {"__min_channels": np.asarray([plan.min_channels]),
+              "__blobs": np.asarray(sorted(plan.blob_scale)),
+              "__scales": np.asarray([plan.blob_scale[b]
+                                      for b in sorted(plan.blob_scale)],
+                                     np.float64)}  # exact python-float roundtrip
+    for li, q in plan.weights.items():
+        arrays[f"wq{li}"] = np.asarray(q["wq"])
+        arrays[f"ws{li}"] = np.asarray(q["wscale"])
+        arrays[f"wb{li}"] = np.asarray(q["bias"])
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".npz")
+    os.close(fd)
+    np.savez(tmp, **arrays)        # keeps the name (already ends in .npz)
+    os.replace(tmp, path)
+
+
+def load_plan(path: str) -> QuantPlan:
+    import jax.numpy as jnp
+    data = np.load(path)
+    blob_scale = {int(b): float(s) for b, s in
+                  zip(data["__blobs"], data["__scales"])}
+    weights = {}
+    for name in data.files:
+        if name.startswith("wq"):
+            li = int(name[2:])
+            weights[li] = {"wq": jnp.asarray(data[f"wq{li}"]),
+                           "wscale": jnp.asarray(data[f"ws{li}"]),
+                           "bias": jnp.asarray(data[f"wb{li}"])}
+    return QuantPlan(blob_scale=blob_scale, weights=weights,
+                     min_channels=int(data["__min_channels"][0]))

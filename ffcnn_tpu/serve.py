@@ -286,7 +286,11 @@ def main(argv=None) -> int:
     ap.add_argument("--mode", choices=("fast", "parity", "int8"), default="fast")
     ap.add_argument("--calib", nargs="*", default=None,
                     help="representative BMP frames for int8 calibration "
-                         "(required with --mode int8)")
+                         "(required with --mode int8 unless --quant-plan "
+                         "points at a saved plan)")
+    ap.add_argument("--quant-plan", default=None,
+                    help="int8 calibration cache: loaded if it exists, "
+                         "else written after calibrating from --calib")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--cache-dir", default=None)
@@ -296,11 +300,19 @@ def main(argv=None) -> int:
     net = Net.load(args.cfg, args.weights, mode=args.mode,
                    cache_dir=args.cache_dir)
     if args.mode == "int8":
-        if not args.calib:
-            ap.error("--mode int8 requires --calib <frame.bmp> [...]")
-        import numpy as np
-        from .imageio.bmp import bmp_load
-        net.calibrate(np.stack([bmp_load(p) for p in args.calib]))
+        if args.quant_plan and os.path.exists(args.quant_plan):
+            from .quant import load_plan
+            net.set_quant_plan(load_plan(args.quant_plan))
+        elif args.calib:
+            import numpy as np
+            from .imageio.bmp import bmp_load
+            net.calibrate(np.stack([bmp_load(p) for p in args.calib]))
+            if args.quant_plan:
+                from .quant import save_plan
+                save_plan(args.quant_plan, net.quant)
+        else:
+            ap.error("--mode int8 requires --calib <frame.bmp> [...] "
+                     "or an existing --quant-plan")
     service = DetectorService(net)
     server = make_server(service, args.host, args.port)
     threading.Thread(target=service.warmup, daemon=True).start()

@@ -108,3 +108,28 @@ def test_int8_golden_accuracy(ref_cfg, ref_weights):
         assert abs(d.score - score) < 0.05
         for got, want in ((d.x1, x1), (d.y1, y1), (d.x2, x2), (d.y2, y2)):
             assert abs(got - want) < 12, (d, (cat, score, x1, y1, x2, y2))
+
+
+def test_quant_plan_save_load_roundtrip(tmp_path, ref_cfg, ref_weights):
+    """Calibration persists: a saved+reloaded plan produces identical
+    detections (serving restarts skip recalibration)."""
+    from ffcnn_tpu.quant import load_plan, save_plan
+
+    bgr = bmp_load(conftest.fixture_path("test320.bmp"))
+    net = Net.load(ref_cfg, ref_weights, mode="int8")
+    net.calibrate(bgr[None])
+    want = net.detect(bgr)
+
+    p = str(tmp_path / "plan.npz")
+    save_plan(p, net.quant)
+    plan = load_plan(p)
+    assert plan.blob_scale == net.quant.blob_scale
+    assert plan.min_channels == net.quant.min_channels
+
+    net2 = Net.load(ref_cfg, ref_weights, mode="int8")
+    net2.set_quant_plan(plan)
+    got = net2.detect(bgr)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.class_id == b.class_id
+        assert abs(a.score - b.score) < 1e-6
