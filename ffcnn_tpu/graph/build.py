@@ -109,6 +109,16 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                             -127, 127).astype(jnp.int8)
         return y.astype(float_dtype)
 
+    def reconcile(li, out):
+        """Pass-through layer output (maxpool/upsample of blob li) -> the
+        storage the plan assigns blob li+1.  Identity when input and
+        output share storage (+scale); otherwise dequantize/requantize so
+        a mixed plan can never leak raw int8 values into the float path."""
+        in_q, out_q = is_q(li), is_q(li + 1)
+        if in_q == out_q and (not in_q or scale_of(li) == scale_of(li + 1)):
+            return out
+        return store(li + 1, deq(li, out))
+
     def run_layer(li, layer, inp):
         t = layer.type
         if t == LayerType.CONV:
@@ -130,13 +140,15 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                              accum_dtype=accum_dtype)
             return store(li + 1, y) if is_q(li + 1) else y
         if t == LayerType.MAXPOOL:
-            # int8-safe: max commutes with the (positive, shared) scale
-            return maxpool2d(inp, layer.fs, layer.stride)
+            # int8-safe: max commutes with the (positive, shared) scale.
+            # reconcile() covers plans where input/output storage differ
+            # (possible in non-flagship graphs — e.g. an excluded output).
+            return reconcile(li, maxpool2d(inp, layer.fs, layer.stride))
         if t == LayerType.AVGPOOL:
             return store(li + 1, avgpool2d(deq(li, inp), layer.fs,
                                            layer.stride))
         if t == LayerType.UPSAMPLE:
-            return upsample_nearest(inp, layer.stride)
+            return reconcile(li, upsample_nearest(inp, layer.stride))
         if t == LayerType.DROPOUT:
             return inp                     # inference no-op (ffcnn.c:412-416)
         if t == LayerType.SHORTCUT:

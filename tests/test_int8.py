@@ -133,3 +133,46 @@ def test_quant_plan_save_load_roundtrip(tmp_path, ref_cfg, ref_weights):
     for a, b in zip(got, want):
         assert a.class_id == b.class_id
         assert abs(a.score - b.score) < 1e-6
+
+
+def test_mixed_storage_pool_reconciles():
+    """A plan where a maxpool's input is int8 but its output blob is
+    excluded (possible in non-flagship graphs) must dequantize at the
+    boundary instead of leaking raw int8 values into the float path."""
+    import os
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.weights import load_weights, synth_weights_bytes
+    from ffcnn_tpu.graph.build import forward_features, params_to_pytree
+    from ffcnn_tpu.quant import build_plan, collect_blob_absmax
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ir = parse_cfg(os.path.join(REPO, "models", "ffcnn-micro.cfg"), 64, 64)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=2, obj_bias=0.0))[0])
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (1, 64, 64, 3), np.uint8)
+    absmax = collect_blob_absmax(ir, params, img, (0.,) * 3, (1 / 255.,) * 3)
+
+    from ffcnn_tpu.darknet.ir import LayerType
+    pool_li = next(li for li, l in enumerate(ir.layers)
+                   if l.type == LayerType.MAXPOOL and ir.blobs[li].c >= 16)
+    plan = build_plan(ir, params, absmax, min_channels=16,
+                      exclude_blobs={pool_li + 1})
+    assert plan.blob_is_int8(pool_li) and not plan.blob_is_int8(pool_li + 1)
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    ref = forward_features(ir, params, x)
+    got = forward_features(ir, params, x, quant=plan)
+    for a, b in zip(ref, got):
+        # int8 tolerance: coarse but bounded — a raw-int8 leak would be
+        # off by ~1/scale (orders of magnitude)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0.25, atol=0.15)
+
+
+def test_fused_env_kill_switch(monkeypatch):
+    from ffcnn_tpu.kernels.block_fused import runs_usable
+    monkeypatch.setenv("FFCNN_FUSED", "0")
+    assert not runs_usable(256, backend="tpu")
+    monkeypatch.setenv("FFCNN_FUSED", "1")
+    assert runs_usable(256, backend="tpu")
