@@ -86,3 +86,63 @@ def test_fast_mode_golden_classes(ref_cfg, ref_weights):
         assert abs(d.score - score) < 0.05
         for got, want in ((d.x1, x1), (d.y1, y1), (d.x2, x2), (d.y2, y2)):
             assert abs(got - want) < 12, (d, (cat, score, x1, y1, x2, y2))
+
+
+def test_odd_geometry_jit_vs_oracle():
+    """Dynamic input sizes (ALIGN-32 analog, ffcnn.c:133-134): a non-square
+    odd-size image through the jitted pipeline equals the oracle on the
+    micro model — letterbox resize + s1/s2 rescale path under jit."""
+    import os
+
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.weights import load_weights, synth_weights_bytes
+    from ffcnn_tpu.oracle import numpy_ref
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ir = parse_cfg(os.path.join(REPO, "models", "ffcnn-micro.cfg"), 96, 64)
+    params, _ = load_weights(ir, synth_weights_bytes(ir, seed=11,
+                                                     obj_bias=0.5))
+    import jax
+    import jax.numpy as jnp
+
+    from ffcnn_tpu.darknet.ir import LayerType
+    from ffcnn_tpu.graph.build import forward_features, params_to_pytree
+    from ffcnn_tpu.ops.preprocess import letterbox
+    from ffcnn_tpu.ops.yolo import concat_heads, decode_head
+
+    ptree = params_to_pytree(params)
+    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLO]
+    net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
+
+    rng = np.random.RandomState(4)
+    for shape in ((50, 70, 3), (130, 40, 3)):     # wide and tall, both odd
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        # Synthetic weights tie scores at f32-vs-f64 knife edges, making
+        # greedy-NMS survivor identity order-dependent — compare the
+        # deterministic pre-NMS candidate stream instead (same append
+        # order both sides), which still covers the odd-size letterbox +
+        # jitted forward + decode.
+        x, _, _ = numpy_ref.letterbox(img, net_w, net_h, (0.,) * 3,
+                                      (1 / 255.,) * 3)
+        want = numpy_ref.net_candidates(ir, params, x)
+        assert want, shape
+
+        def fn(p, im):
+            xx = letterbox(im, net_w, net_h, jnp.zeros(3, jnp.float32),
+                           jnp.full(3, 1 / 255.0, jnp.float32),
+                           dtype=jnp.float32)
+            feats = forward_features(ir, p, xx,
+                                     precision=jax.lax.Precision.HIGHEST)
+            return concat_heads([decode_head(f, l, net_w, net_h)
+                                 for f, l in zip(feats, heads_meta)])
+
+        d = jax.jit(fn)(ptree, jnp.asarray(img[None]))
+        scores = np.asarray(d.scores)[0]
+        boxes = np.asarray(d.boxes)[0]
+        classes = np.asarray(d.classes)[0]
+        got = [(int(classes[i]), float(scores[i]), *map(float, boxes[i]))
+               for i in np.nonzero(scores > 0)[0]]
+        assert len(got) == len(want), (shape, len(got), len(want))
+        for g, w in zip(got, want):
+            assert g[0] == w[0]
+            np.testing.assert_allclose(g[1:], w[1:], rtol=1e-3, atol=1e-3)
