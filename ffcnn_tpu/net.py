@@ -207,20 +207,29 @@ class Net:
                    if l.type == LayerType.YOLO)
 
     def _build_pipeline(self, img_h: int, img_w: int, folded: bool,
-                        topk: Optional[int] = None):
+                        topk: Optional[int], mean, norm):
         """Whole pixels-to-boxes program for one original-image size.
 
         ``folded``: normalize/BGR-swap live in conv-1's weights
         (fold_input_transform) and preprocess is a uint8 resize+pad — the
         fast path for the demo-default mean=0 (exact only then, see
-        fold_input_transform).  Otherwise the full float letterbox runs with
-        runtime mean/norm."""
+        fold_input_transform).  Otherwise the full float letterbox runs.
+
+        ``mean``/``norm`` are baked in as trace-time constants (each
+        distinct value is its own pipeline bucket, like image sizes): as
+        runtime arguments they cost two f32[3] device copies plus a conv-1
+        weight re-fold on EVERY dispatch (~70 us/step device, measured) for
+        values that change as often as the cfg file does — i.e. never.  The
+        C reference likewise fixes MEAN/NORM at build time (ffcnn.c:556-557).
+        """
         ir = self.ir
         net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
         _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
         heads_meta = self._head_layers()
         dtype, precision = self._dtype, self._precision
         topk = self.topk if topk is None else topk
+        mean = tuple(float(v) for v in np.asarray(mean).reshape(3))
+        norm = tuple(float(v) for v in np.asarray(norm).reshape(3))
 
         quant = self.quant
         fused_runs = self._fused_runs
@@ -228,10 +237,10 @@ class Net:
 
         # self.params is captured as a trace-time CONSTANT, not an argument:
         # the weights are baked into the executable (1.4 MB), so each
-        # dispatch ships 3 buffer handles instead of ~400 (131 layers x 3
+        # dispatch ships 1 buffer handle instead of ~400 (131 layers x 3
         # leaves) — dispatch overhead through the axon tunnel was ~20% of
         # wall time per batch.  A new Net compiles new programs anyway.
-        def pipeline(bgr, mean, norm):
+        def pipeline(bgr):
             from .kernels.block_fused import runs_usable
             runs = fused_runs if (fused_runs
                                   and runs_usable(bgr.shape[0])) else None
@@ -240,7 +249,8 @@ class Net:
                 params = fold_input_transform(ir, params, mean, norm)
                 x = letterbox_uint8(bgr, net_w, net_h)
             else:
-                x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
+                x = letterbox(bgr, net_w, net_h, jnp.asarray(mean),
+                              jnp.asarray(norm), dtype=dtype)
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
                                      fused_runs=runs)
@@ -255,12 +265,14 @@ class Net:
 
     def _pipeline_for(self, img_h: int, img_w: int, mean, norm,
                       topk: Optional[int] = None):
-        folded = (self._can_fold_input()
-                  and tuple(np.asarray(mean).tolist()) == DEFAULT_MEAN)
-        key = (img_h, img_w, folded, topk or self.topk)
+        mean_t = tuple(float(v) for v in np.asarray(mean).reshape(3))
+        norm_t = tuple(float(v) for v in np.asarray(norm).reshape(3))
+        folded = self._can_fold_input() and mean_t == DEFAULT_MEAN
+        key = (img_h, img_w, folded, topk or self.topk, mean_t, norm_t)
         fn = self._pipelines.get(key)
         if fn is None:
-            fn = self._build_pipeline(img_h, img_w, folded, topk)
+            fn = self._build_pipeline(img_h, img_w, folded, topk,
+                                      mean_t, norm_t)
             self._pipelines[key] = fn
         return fn
 
@@ -313,8 +325,7 @@ class Net:
                            norm=tuple(np.asarray(norm).tolist()))
         fn = self._pipeline_for(h, w, mean, norm, topk)
         t0 = time.perf_counter()
-        res = fn(jnp.asarray(batch),
-                 jnp.asarray(mean, jnp.float32), jnp.asarray(norm, jnp.float32))
+        res = fn(jnp.asarray(batch))
         self.timeused["detect"] = self.timeused.get("detect", 0.0) + (
             time.perf_counter() - t0)
         return res

@@ -125,15 +125,58 @@ def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
     # exist here, top-k silently drops the tail — flag it so callers can
     # retry with a bigger K (Net.detect does, in parity mode) or warn.
     saturated = jnp.sum(scores > 0, axis=1) > k
-    # approx_max_k at recall_target=1.0 is an EXACT sorted top-k on TPU via
-    # a two-stage partial reduction — measured ~1.7x faster than lax.top_k's
-    # full row sort at production shapes (256x1500).  Output verified
-    # identical to lax.top_k on every nonzero slot (zero-score padding slots
-    # may pick different source indices, which is inert: score-0 candidates
-    # are "absent" downstream).
-    top_scores, idx = lax.approx_max_k(scores, k, recall_target=1.0)
-    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-    top_classes = jnp.take_along_axis(classes, idx, axis=1)
+    # Top-k selection impl (FFCNN_TOPK_IMPL overrides; all bit-identical —
+    # tests/test_nms_impls.py):
+    #   'onehot' (default): approx_max_k (exact at recall_target=1.0) +
+    #       one-hot MXU-dot payload gather.  In-net device totals at
+    #       (256,1500)->128 on v5e: 5779 us/step.
+    #   'sort':   one stable multi-operand sort carrying the payload
+    #       (6088 us/step — the 6-wide sort costs more than the dot).
+    #   'gather': approx_max_k + take_along_axis, which lowers to
+    #       scalar-core gathers: 6229 us/step, 587 us in the gathers alone.
+    import os
+    topk_impl = os.environ.get("FFCNN_TOPK_IMPL", "onehot")
+    if topk_impl == "onehot":
+        top_scores, idx = lax.approx_max_k(scores, k, recall_target=1.0)
+        onehot = (idx[..., None] == jnp.arange(m)[None, None, :]
+                  ).astype(jnp.float32)                        # (N, K, M)
+        # (An (N, 5, M) plane-stacked payload was also measured: 5828 vs
+        # 5774 us/step — decode's per-anchor T(1,128) layouts dominate
+        # either way, so keep the simpler concat.)
+        payload = jnp.concatenate(
+            [boxes, classes[..., None].astype(jnp.float32)], axis=-1)
+        # one-hot rows pick exactly one element, so with full f32 operand
+        # precision the dot IS an exact gather: Precision.HIGHEST splits the
+        # f32 payload into bf16 passes that reconstruct all 24 mantissa
+        # bits, and the single 1.0 coefficient adds no rounding.  (Default
+        # precision demotes to one bf16 pass — measured ±1 px box drift,
+        # which broke the parity gate.)
+        picked = jax.vmap(lambda o, p: lax.dot_general(
+            o, p, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))(onehot, payload)
+        top_boxes = picked[..., :4]
+        top_classes = picked[..., 4].astype(jnp.int32)
+    elif topk_impl == "gather":
+        top_scores, idx = lax.approx_max_k(scores, k, recall_target=1.0)
+        top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+        top_classes = jnp.take_along_axis(classes, idx,
+                                          axis=1).astype(jnp.int32)
+    else:
+        # One stable multi-operand sort carries the payload (box coords +
+        # class) alongside the key, so no post-sort gather is needed at all.
+        # Descending order via the negated key (negation is exact; score-0
+        # "absent" slots stay 0 through -0.0 round-trip).  Stable sort keeps
+        # equal-score candidates in (row, col, anchor) scan order — the
+        # same order the C reference feeds qsort (ffcnn.c:291-302).
+        neg_s, bx1, by1, bx2, by2, top_classes = lax.sort(
+            (-scores, boxes[..., 0], boxes[..., 1], boxes[..., 2],
+             boxes[..., 3], classes),
+            dimension=1, is_stable=True, num_keys=1)
+        top_scores = -neg_s[:, :k]
+        top_boxes = jnp.stack([bx1[:, :k], by1[:, :k],
+                               bx2[:, :k], by2[:, :k]], axis=-1)
+        top_classes = top_classes[:, :k].astype(jnp.int32)
 
     if impl == "auto":
         # Measured on v5e (in-net device totals, real frames, batch 256):

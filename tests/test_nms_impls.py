@@ -40,6 +40,33 @@ def test_impls_bit_identical(seed, density):
                                       err_msg=impl)
 
 
+@pytest.mark.parametrize("seed,density", [(3, 0.1), (4, 0.6)])
+def test_topk_impls_bit_identical(seed, density, monkeypatch):
+    """The three top-k payload-selection paths (one-hot MXU-dot gather /
+    stable multi-operand sort / take_along_axis) must be bit-identical —
+    the one-hot dot runs at Precision.HIGHEST precisely so the gathered f32
+    boxes reconstruct exactly."""
+    boxes, scores, cls = _random_case(seed, density=density)
+    results = {}
+    for impl in ("onehot", "sort", "gather"):
+        monkeypatch.setenv("FFCNN_TOPK_IMPL", impl)
+        r = jax.jit(lambda b, s, c: nms(b, s, c, k=64, threshold=0.5,
+                                        impl="sweep"))(boxes, scores, cls)
+        results[impl] = jax.tree.map(np.asarray, r)
+    live = results["onehot"].scores > 0   # score-0 padding slots may hold
+    for impl in ("sort", "gather"):       # different (inert) candidates
+        for field in ("scores", "count", "saturated"):
+            np.testing.assert_array_equal(
+                getattr(results["onehot"], field),
+                getattr(results[impl], field), err_msg=f"{impl}.{field}")
+        np.testing.assert_array_equal(results["onehot"].boxes[live],
+                                      getattr(results[impl], "boxes")[live],
+                                      err_msg=f"{impl}.boxes")
+        np.testing.assert_array_equal(results["onehot"].classes[live],
+                                      results[impl].classes[live],
+                                      err_msg=f"{impl}.classes")
+
+
 def test_sweep_matches_python_greedy():
     """Fixpoint sweeps == a literal python port of the C greedy loop."""
     boxes, scores, cls = _random_case(7, n=4, m=100, density=0.5, classes=3)
