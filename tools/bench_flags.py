@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Measure fast-mode throughput at batch 256 under the current XLA_FLAGS
+(set by the caller) and sanity-check the golden detections.  One JSON line.
+
+Usage:  XLA_FLAGS="--xla_tpu_foo=true" /opt/venv/bin/python tools/bench_flags.py
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffcnn_tpu import Net
+from ffcnn_tpu.imageio.bmp import bmp_load
+
+CFG = "/root/reference/yolo-fastest-1.1.cfg"
+WEIGHTS = "/root/reference/yolo-fastest-1.1.weights"
+BATCH = int(os.environ.get("BATCH", "256"))
+ITERS = 30
+
+
+def main():
+    net = Net.load(CFG, WEIGHTS, mode=os.environ.get("MODE", "fast"))
+    img = bmp_load(os.path.join(REPO, "tests", "fixtures", "test320.bmp"))
+
+    # golden sanity (fast-mode tolerance: classes exact, boxes within 2px)
+    golden = [(0, (90, 66, 135, 292)), (18, (215, 111, 306, 248)),
+              (16, (35, 196, 106, 268))]
+    dets = net.detect(img)
+    ok = len(dets) == len(golden) and all(
+        d.class_id == cat and all(abs(g - v) <= 2 for g, v in
+                                  zip(rect, (d.x1, d.y1, d.x2, d.y2)))
+        for d, (cat, rect) in zip(dets, golden))
+
+    rng = np.random.RandomState(0)
+    batch = np.broadcast_to(img, (BATCH,) + img.shape).copy()
+    batch = np.clip(batch.astype(np.int16)
+                    + rng.randint(0, 8, batch.shape, dtype=np.uint8),
+                    0, 255).astype(np.uint8)
+    bj = jnp.asarray(batch)
+    jax.block_until_ready(net.detect_device(bj))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            r = net.detect_device(bj)
+        jax.block_until_ready(r)
+        dt = min(dt, (time.perf_counter() - t0) / ITERS)
+    print(json.dumps({"img_s": round(BATCH / dt, 1),
+                      "ms_batch": round(dt * 1000, 3),
+                      "golden_ok": bool(ok),
+                      "flags": os.environ.get("XLA_FLAGS", "")}))
+
+
+if __name__ == "__main__":
+    main()
