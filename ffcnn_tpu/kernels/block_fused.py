@@ -253,8 +253,23 @@ def _cs_block(x, params9, acts, residual: bool, res_act: int,
 def apply_run(x, ir: NetIR, params, run: FusedRun, *,
               interpret: bool = False):
     """Run a chain of fused blocks on an NHWC input blob: one layout
-    round-trip (NHWC -> (H, C, W*N) -> NHWC) around the whole run."""
+    round-trip around the whole run.  Two strategies:
+
+    * 'mega' (default where it fits): ONE pallas_call for the whole run —
+      grid over 128-image batch chunks, the full (H, C, W*128) feature map
+      of one chunk resident in VMEM, blocks chained in-kernel so the
+      boundary blobs between blocks never touch HBM (per-block calls
+      round-trip them, padded to the sublane tile).
+    * per-block (fallback / FFCNN_FUSED_MEGA=0): grid over row groups with
+      halo BlockSpecs, one pallas_call per block.
+    """
+    import os
     n, hh, ww, cc = x.shape
+    # Default OFF until A/B-measured on the real chip (CPU-interpret
+    # equivalence is tested; Mosaic lowering at production geometry is not).
+    if os.environ.get("FFCNN_FUSED_MEGA", "0") != "0" and \
+            n % MEGA_NB == 0 and _mega_fits(ir, params, run, hh, ww):
+        return _apply_run_mega(x, ir, params, run, interpret=interpret)
     xc = jnp.transpose(x, (1, 3, 2, 0)).reshape(hh, cc, ww * n)
     for b in run.blocks:
         acts = (ir.layers[b.start].activation,
@@ -264,6 +279,102 @@ def apply_run(x, ir: NetIR, params, run: FusedRun, *,
                        b.res_act, ww, n, interpret=interpret)
     p_ = xc.shape[1]
     return jnp.transpose(xc.reshape(hh, p_, ww, n), (3, 0, 2, 1))
+
+
+# ----------------------------------------------------------- mega variant
+MEGA_NB = 128                  # batch images per grid step (lane quantum)
+_MEGA_VMEM_BUDGET = 72 << 20   # f32 working set per chunk (2 stage buffers
+#                                + input/residual + slack under the 100 MB
+#                                compiler limit)
+
+
+def _mega_fits(ir: NetIR, params, run: FusedRun, hh: int, ww: int) -> bool:
+    emax = max(ir.layers[b.start].fn for b in run.blocks)
+    s = ww * MEGA_NB
+    need = 2 * hh * emax * (s + 2 * MEGA_NB) * 4        # two E-wide stages
+    need += 2 * hh * max(ir.blobs[run.blocks[0].start].c,
+                         ir.blobs[run.end + 1].c) * s * 4
+    return need <= _MEGA_VMEM_BUDGET
+
+
+def _make_mega_kernel(run_meta, rows: int, s: int):
+    """Kernel over one (1, H, C, S) batch-chunk block; ``run_meta`` is a
+    tuple of (acts, residual, res_act) per block; params arrive flattened
+    as 9 refs per block after the x ref."""
+    R, S, N = rows, s, MEGA_NB
+
+    def kern(*refs):
+        x_ref, o_ref = refs[0], refs[-1]
+        x = [x_ref[0, r].astype(jnp.float32) for r in range(R)]   # (C, S)
+        for bi, (acts, residual, res_act) in enumerate(run_meta):
+            (w1, s1, b1, kdw, s2, b2, w2, s3, b3) = \
+                [r[...] for r in refs[1 + 9 * bi: 10 + 9 * bi]]
+            e = w1.shape[0]
+            # pw expand + W-edge zero pad, all rows resident
+            h1 = []
+            for r in range(R):
+                a = lax.dot_general(w1, x[r], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                a = activate(a * s1 + b1, acts[0])
+                h1.append(jnp.pad(a, ((0, 0), (N, N))))
+            zero = jnp.zeros_like(h1[0])
+            h1 = [zero] + h1 + [zero]                  # H-edge zero pad
+            out = []
+            for r in range(R):
+                acc = jnp.zeros((e, S), jnp.float32)
+                for dy in range(3):
+                    for dx in range(3):
+                        acc = acc + (h1[r + dy][:, dx * N: dx * N + S]
+                                     * kdw[dy, dx][:, None])
+                h2 = activate(acc * s2 + b2, acts[1])
+                y = lax.dot_general(w2, h2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                y = activate(y * s3 + b3, acts[2])
+                if residual:
+                    y = activate(y + x[r], res_act)
+                out.append(y)
+            x = out
+        for r in range(R):
+            o_ref[0, r] = x[r].astype(o_ref.dtype)
+
+    return kern
+
+
+def _apply_run_mega(x, ir: NetIR, params, run: FusedRun, *,
+                    interpret: bool = False):
+    n, hh, ww, cc = x.shape
+    nb = n // MEGA_NB
+    p_ = ir.blobs[run.end + 1].c
+    s = ww * MEGA_NB
+    # (N,H,W,C) -> (NB, H, C, W*128): batch-chunk leading (grid dim), C on
+    # sublanes, (w, image-within-chunk) on lanes so dw taps are +-128-lane
+    # tile-aligned slices.
+    x4 = jnp.transpose(x.reshape(nb, MEGA_NB, hh, ww, cc),
+                       (0, 2, 4, 3, 1)).reshape(nb, hh, cc, s)
+    run_meta = []
+    flat_params = []
+    for b in run.blocks:
+        acts = (ir.layers[b.start].activation,
+                ir.layers[b.start + 1].activation,
+                ir.layers[b.start + 2].activation)
+        run_meta.append((acts, b.residual, b.res_act))
+        flat_params.extend(_block_params(params, b))
+    kern = _make_mega_kernel(tuple(run_meta), hh, s)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern, grid=(nb,),
+        in_specs=[pl.BlockSpec((1, hh, cc, s), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [full()] * len(flat_params),
+        out_specs=pl.BlockSpec((1, hh, p_, s), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, hh, p_, s), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x4, *flat_params)
+    return jnp.transpose(out.reshape(nb, hh, p_, ww, MEGA_NB),
+                         (0, 4, 1, 3, 2)).reshape(n, hh, ww, p_)
 
 
 def runs_usable(x_batch: int, backend: Optional[str] = None) -> bool:

@@ -59,18 +59,38 @@ def decode_head(feat, layer: Layer, net_w: int, net_h: int) -> DecodedBoxes:
     slices) are lifted to f32 for the exp/sigmoid math, while the class-score
     argmax/max runs in the head's native dtype (comparisons are exact in any
     float format) — so the bulk (N,h,w,255) tensor is read once in bf16
-    instead of being materialized as an f32 copy first."""
+    instead of being materialized as an f32 copy first.
+
+    Two formulations (bit-identical; FFCNN_DECODE_IMPL overrides):
+      * 'anchor-slice' (default): per-anchor lane-range slices of the FLAT
+        channel axis — no (...,3,85) reshape, so all field reads + the
+        class argmax can join one multi-output fusion over the head tensor.
+      * 'reshape': reshape to (N,h,w,3,85) first; on TPU the 255→(3,85)
+        lane retiling materializes a relayout copy (~67 us at the 10x10
+        head, batch 256) before a separately-fused argmax."""
+    import os
     n, h, w, _ = feat.shape
     nc = layer.class_num
-    f = feat.reshape(n, h, w, 3, 5 + nc)
-
-    tx = f[..., 0].astype(jnp.float32)
-    ty = f[..., 1].astype(jnp.float32)
-    tw = f[..., 2].astype(jnp.float32)
-    th = f[..., 3].astype(jnp.float32)
-    bs = f[..., 4].astype(jnp.float32)
-    cls_scores = f[..., 5:]
-    cidx, cs = _argmax_max(cls_scores)
+    per = 5 + nc
+    if os.environ.get("FFCNN_DECODE_IMPL", "anchor-slice") == "reshape":
+        f = feat.reshape(n, h, w, 3, per)
+        tx = f[..., 0].astype(jnp.float32)
+        ty = f[..., 1].astype(jnp.float32)
+        tw = f[..., 2].astype(jnp.float32)
+        th = f[..., 3].astype(jnp.float32)
+        bs = f[..., 4].astype(jnp.float32)
+        cidx, cs = _argmax_max(f[..., 5:])
+    else:
+        fields = []
+        for k in range(5):                      # tx, ty, tw, th, bs planes
+            fields.append(jnp.stack(
+                [feat[..., a * per + k] for a in range(3)],
+                axis=-1).astype(jnp.float32))
+        tx, ty, tw, th, bs = fields
+        am = [_argmax_max(feat[..., a * per + 5: (a + 1) * per])
+              for a in range(3)]
+        cidx = jnp.stack([a for a, _ in am], axis=-1)
+        cs = jnp.stack([c for _, c in am], axis=-1)
 
     conf = jnp.reciprocal(1.0 + jnp.exp(-bs) * (1.0 + jnp.exp(-cs)))
     conf = jnp.where(conf >= layer.ignore_thres, conf, 0.0)

@@ -98,3 +98,27 @@ def test_folded_conv1_nonzero_mean():
                        act=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_decode_impls_bit_identical(monkeypatch):
+    """The anchor-slice decode (no (...,3,85) reshape — fuses into one pass
+    over the head on TPU) must be bit-identical to the reshape formulation
+    for every field, including argmax tie-breaking."""
+    from ffcnn_tpu.darknet.ir import Layer, LayerType
+    from ffcnn_tpu.ops.yolo import decode_head
+
+    rng = np.random.RandomState(0)
+    # Ties included: quantize scores so equal class logits occur.
+    feat = jnp.asarray(
+        np.round(rng.randn(4, 6, 5, 255) * 2) / 2, jnp.bfloat16)
+    lay = Layer(index=0, type=LayerType.YOLO, class_num=80,
+                ignore_thres=0.45,
+                anchors=((115, 73), (119, 199), (242, 238)), scale_x_y=1.05)
+    outs = {}
+    for impl in ("anchor-slice", "reshape"):
+        monkeypatch.setenv("FFCNN_DECODE_IMPL", impl)
+        outs[impl] = decode_head(feat, lay, 320, 320)
+    for a, b, nm in zip(outs["anchor-slice"], outs["reshape"],
+                        ("boxes", "scores", "classes")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)

@@ -132,3 +132,25 @@ def test_fused_run_chain_matches_xla_flagship_stage():
     got = apply_run(x, ir, params, runs[0], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(cur),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_mega_run_matches_per_block(monkeypatch):
+    """The whole-run mega kernel (one pallas_call, grid over 128-image
+    batch chunks, boundary blobs VMEM-resident) vs the per-block kernel
+    path on the flagship 20x20 stage, interpret mode."""
+    ir = parse_cfg(REF_CFG, 320, 320)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=2, obj_bias=0.0))[0])
+    run = [r for r in plan_runs(ir) if r.start == 61][0]
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(128, 20, 20, 24).astype(np.float32) * 0.5)
+
+    from ffcnn_tpu.kernels import block_fused
+    assert block_fused._mega_fits(ir, params, run, 20, 20)
+    monkeypatch.setenv("FFCNN_FUSED_MEGA", "1")
+    got = apply_run(x, ir, params, run, interpret=True)
+    monkeypatch.setenv("FFCNN_FUSED_MEGA", "0")
+    ref = apply_run(x, ir, params, run, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
