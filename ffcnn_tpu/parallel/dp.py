@@ -22,7 +22,8 @@ from ..graph.build import forward_features
 from ..ops.nms import nms
 from ..ops.preprocess import letterbox, letterbox_params
 from ..ops.yolo import concat_heads, decode_head
-from .mesh import MODEL_AXIS, batch_sharding, replicated
+from .mesh import (MODEL_AXIS, SPATIAL_AXIS, activation_sharding,
+                   batch_sharding, replicated)
 
 
 def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
@@ -49,32 +50,57 @@ def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
     heads_meta = [l for l in ir.layers if l.type == LayerType.YOLO]
 
     bshard = batch_sharding(mesh)
+    ashard = activation_sharding(mesh)
+    spatial = SPATIAL_AXIS in mesh.shape and mesh.shape[SPATIAL_AXIS] > 1
 
     def pipeline(params, bgr, mean, norm):
         x = letterbox(bgr, net_w, net_h, mean, norm, dtype=dtype)
-        x = jax.lax.with_sharding_constraint(x, bshard)
+        # Activations carry (data, spatial) sharding: with a >1 spatial
+        # axis the conv stack is partitioned along image rows and GSPMD
+        # inserts the halo exchanges each window needs (the CNN analog of
+        # sequence/context parallelism — worth it for few huge images,
+        # i.e. latency-bound batches smaller than the chip count).
+        x = jax.lax.with_sharding_constraint(x, ashard)
         feats = forward_features(ir, params, x, precision=precision,
                                  quant=quant)
+        if spatial:
+            # Post-process is per-image and tiny: gather each head's rows
+            # back so decode/top-k/NMS shard only on batch.
+            feats = [jax.lax.with_sharding_constraint(f, bshard)
+                     for f in feats]
         decoded = concat_heads([
             decode_head(f.astype(jnp.float32), l, net_w, net_h)
             for f, l in zip(feats, heads_meta)])
         return nms(decoded.boxes, decoded.scores, decoded.classes,
                    k=topk, threshold=nms_threshold, scale1=s1, scale2=s2)
 
-    def param_sharding(li, name, arr, report):
-        if not shard_filters:
+    def param_sharding(li, name, arr, shard_this, report):
+        if not (shard_filters and shard_this):
             return replicated(mesh)
         fn_axis = {"weights": 3, "scale": 0, "bias": 0}[name]
-        fn = arr.shape[fn_axis]
-        if fn % mesh.shape[MODEL_AXIS] != 0:
-            if name == "weights":
-                report["replicated"].append((li, fn))
-            return replicated(mesh)
         if name == "weights":
-            report["sharded"].append((li, fn))
+            report["sharded"].append((li, arr.shape[fn_axis]))
         spec = [None] * arr.ndim
         spec[fn_axis] = MODEL_AXIS
         return NamedSharding(mesh, P(*spec))
+
+    def layer_shardable(li, layer, report):
+        """Per-LAYER TP decision (weights/scale/bias must agree)."""
+        w = layer["weights"]                       # HWIO
+        fn = w.shape[3]
+        if fn % mesh.shape[MODEL_AXIS] != 0:
+            report["replicated"].append((li, fn))
+            return False
+        if spatial and (w.shape[0] > 1 or w.shape[1] > 1) and w.shape[2] > 1:
+            # GSPMD miscompiles a WINDOWED dense conv whose input is
+            # spatially sharded and whose kernel is output-feature sharded
+            # (silently wrong numerics; jax 0.9 CPU+TPU SPMD — see
+            # docs/PERF_NOTES.md "Backend bugs").  1x1 convs (most of the
+            # filters in these nets) and depthwise convs partition
+            # correctly, so only windowed dense convs fall back.
+            report["replicated"].append((li, fn))
+            return False
+        return True
 
     def place_params(params):
         """Place params on the mesh.  The TP decision per conv is recorded
@@ -83,10 +109,14 @@ def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
         auditable rather than invisible (VERDICT r1 weak-7)."""
         import logging
         report = {"sharded": [], "replicated": []}
-        out = {li: {name: jax.device_put(
-                        arr, param_sharding(li, name, arr, report))
-                    for name, arr in layer.items()}
-               for li, layer in params.items()}
+        out = {}
+        for li, layer in params.items():
+            shard_this = (shard_filters
+                          and layer_shardable(li, layer, report))
+            out[li] = {name: jax.device_put(
+                           arr, param_sharding(li, name, arr, shard_this,
+                                               report))
+                       for name, arr in layer.items()}
         place_params.report = report
         if shard_filters:
             logging.getLogger(__name__).info(

@@ -104,6 +104,53 @@ def test_dp_matches_single_device():
     assert np.array_equal(np.asarray(res.count), np.asarray(res1.count))
 
 
+def test_sp_matches_single_device():
+    """Spatial (image-row) sharding — the CNN analog of sequence/context
+    parallelism: activations split along H, GSPMD inserts the halo
+    exchanges for every conv/pool window.  Must be numerically invisible."""
+    ir, params = _tiny_net()
+    rng = np.random.RandomState(3)
+    batch = rng.randint(0, 255, (2, 48, 64, 3)).astype(np.uint8)
+
+    mesh = make_mesh(spatial_parallel=4)          # (data 2, spatial 4)
+    fn, place = build_sharded_pipeline(ir, mesh, 48, 64, dtype=jnp.float32)
+    res = fn(place(params), jnp.asarray(batch),
+             jnp.zeros(3), jnp.full(3, 1 / 255.0))
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    fn1, place1 = build_sharded_pipeline(ir, mesh1, 48, 64, dtype=jnp.float32)
+    res1 = fn1(place1(params), jnp.asarray(batch),
+               jnp.zeros(3), jnp.full(3, 1 / 255.0))
+
+    np.testing.assert_allclose(np.asarray(res.scores),
+                               np.asarray(res1.scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.boxes),
+                               np.asarray(res1.boxes), atol=1e-3)
+    assert np.array_equal(np.asarray(res.count), np.asarray(res1.count))
+
+
+def test_dp_sp_tp_3d_mesh():
+    """All three axes at once: batch over data, rows over spatial, conv
+    filters over model — the full 3D sharding compiles and matches."""
+    ir, params = _tiny_net()
+    rng = np.random.RandomState(4)
+    batch = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+
+    mesh = make_mesh(model_parallel=2, spatial_parallel=2)
+    fn, place = build_sharded_pipeline(ir, mesh, 64, 64, dtype=jnp.float32,
+                                       shard_filters=True)
+    res = fn(place(params), jnp.asarray(batch),
+             jnp.zeros(3), jnp.full(3, 1 / 255.0))
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    fn1, place1 = build_sharded_pipeline(ir, mesh1, 64, 64, dtype=jnp.float32)
+    res1 = fn1(place1(params), jnp.asarray(batch),
+               jnp.zeros(3), jnp.full(3, 1 / 255.0))
+    np.testing.assert_allclose(np.asarray(res.scores),
+                               np.asarray(res1.scores), atol=1e-5)
+    assert np.array_equal(np.asarray(res.count), np.asarray(res1.count))
+
+
 def test_tp_filter_sharding_compiles_and_matches():
     """model-axis filter sharding: XLA must insert the collectives and
     produce identical results."""
