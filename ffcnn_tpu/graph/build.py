@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..darknet.ir import LayerType, NetIR
 from ..ops.activations import activate
-from ..ops.conv import conv2d_fused, conv2d_int8
+from ..ops.conv import conv0_int8_from_u8, conv2d_fused, conv2d_int8
 from ..ops.pool import avgpool2d, maxpool2d, upsample_nearest
 
 
@@ -59,7 +59,8 @@ def fold_input_transform(ir: NetIR, params: Dict, mean, norm) -> Dict:
 def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                      accum_dtype=jnp.float32, input_dtype=None,
                      quant=None, blob_hook=None, fused_runs=None,
-                     fused_interpret: bool = False) -> List:
+                     fused_interpret: bool = False,
+                     conv0_int8: bool = False) -> List:
     """Run the graph body.  ``x``: (N, H, W, C) net input.  Returns the raw
     (N, h, w, 3*(5+classes)) feature map feeding each yolo layer, in graph
     order.  ``params`` is a pytree {layer_index: {weights, scale, bias}} (or
@@ -78,10 +79,26 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     of [pw, dw3x3, pw(, dropout, shortcut)] blocks executes as Pallas fused
     kernels (expand intermediates stay in VMEM); the interior layers are
     skipped and their blobs never materialize (eligibility guarantees no
-    other consumers)."""
-    if not jnp.issubdtype(x.dtype, jnp.floating):
-        x = x.astype(input_dtype or jnp.float32)
-    float_dtype = x.dtype
+    other consumers).
+
+    ``conv0_int8``: run the first conv straight off the raw uint8 pixels on
+    the int8 MXU (ops.conv.conv0_int8_from_u8) instead of casting the input
+    to float first — applies only when x is uint8, the first layer is a
+    dense conv, and blob 0 has no other consumers."""
+    use_c0q = (conv0_int8 and x.dtype == jnp.uint8
+               and ir.layers[0].type == LayerType.CONV
+               and ir.layers[0].groups == 1
+               and (quant is None or 0 not in quant.weights)
+               and not any(0 in (d + 1 for d in l.depends)
+                           for l in ir.layers
+                           if l.type in (LayerType.ROUTE,
+                                         LayerType.SHORTCUT)))
+    if use_c0q:
+        float_dtype = input_dtype or jnp.float32
+    else:
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(input_dtype or jnp.float32)
+        float_dtype = x.dtype
     nlayers = len(ir.layers)
     blobs: List[Optional[jnp.ndarray]] = [None] * (nlayers + 1)
     blobs[0] = x
@@ -122,6 +139,15 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     def run_layer(li, layer, inp):
         t = layer.type
         if t == LayerType.CONV:
+            if li == 0 and use_c0q:
+                p = params[0]
+                w, scale, bias = (p["weights"], p["scale"], p["bias"]) \
+                    if isinstance(p, dict) else (p.weights, p.scale, p.bias)
+                y = conv0_int8_from_u8(inp, w, scale, bias,
+                                       stride=layer.stride, pad=layer.pad,
+                                       act=layer.activation,
+                                       float_dtype=float_dtype)
+                return store(li + 1, y) if is_q(li + 1) else y
             if is_q(li) and li in quant.weights:   # int8 blob -> int8 MXU
                 q = quant.weights[li]
                 out_s = scale_of(li + 1) if is_q(li + 1) else None

@@ -241,6 +241,7 @@ class Net:
         # leaves) — dispatch overhead through the axon tunnel was ~20% of
         # wall time per batch.  A new Net compiles new programs anyway.
         def pipeline(bgr):
+            import os
             from .kernels.block_fused import runs_usable
             runs = fused_runs if (fused_runs
                                   and runs_usable(bgr.shape[0])) else None
@@ -251,9 +252,15 @@ class Net:
             else:
                 x = letterbox(bgr, net_w, net_h, jnp.asarray(mean),
                               jnp.asarray(norm), dtype=dtype)
+            # conv-1 straight off the uint8 pixels on the int8 MXU —
+            # measured SLOWER on v5e (926 vs 593 us device: the C=3 s8
+            # conv lowers worse than the float one), so default OFF; the
+            # exact-shift algebra is kept tested for when the backend's
+            # int8 small-C convs improve (docs/PERF_NOTES.md).
+            c0q = folded and os.environ.get("FFCNN_CONV0_INT8", "0") == "1"
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
-                                     fused_runs=runs)
+                                     fused_runs=runs, conv0_int8=c0q)
             decoded = concat_heads([
                 decode_head(f, l, net_w, net_h)
                 for f, l in zip(feats, heads_meta)])

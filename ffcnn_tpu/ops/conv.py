@@ -50,6 +50,51 @@ def conv2d_fused(x, weights, scale, bias, *, stride: int, pad: int,
     return activate(y, act).astype(x.dtype)
 
 
+def conv0_int8_from_u8(x_u8, weights, scale, bias, *, stride: int, pad: int,
+                       act: int, float_dtype=jnp.bfloat16):
+    """First-layer conv directly on raw uint8 pixels via the int8 MXU.
+
+    The float fast path casts the (N, H, W, 3) uint8 input to bf16 inside
+    conv-1's fusion; this variant keeps the 1-byte pixels all the way into
+    the MXU (halving conv-1's dominant input traffic AND using the 2x int8
+    MXU rate):
+
+      * ``x - 128`` maps u8 [0,255] onto s8 exactly — computed as
+        ``bitcast(x ^ 0x80)``, one fused byte op, no wider intermediate.
+      * the shift is undone EXACTLY in the epilogue: with zero padding in
+        the shifted domain, ``conv_f(x) = acc + 128 * M`` where
+        ``M[h,w,o] = conv(ones, wq)`` counts each position's in-bounds
+        taps.  M is computed on the trace-time-constant weights, so it
+        bakes into the program as a (1, oh, ow, fn) constant — border
+        rows/cols get their smaller correction automatically.
+      * ``weights`` are the input-folded f32 weights (fold_input_transform:
+        BGR swap + normalize already inside), quantized per-output-channel
+        to int8 here; the dequant ``wscale`` joins the BN-fold ``scale`` in
+        the one fused epilogue multiply.
+
+    Only the weight quantization is approximate (7-bit mantissa vs bf16's
+    8) — measured inside the fast-mode golden tolerance.  The reference
+    has no analog (its conv-v6 1x1 path is float, conv-v6.c:46-91); this
+    exists because conv-1 is the single hottest op on the chip."""
+    w = jnp.asarray(weights, jnp.float32)                  # (fs, fs, 3, fn)
+    wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    wscale = jnp.where(wmax > 0, wmax / 127.0, 1.0)        # (fn,)
+    wq = jnp.round(w / wscale).astype(jnp.int8)
+    xs = lax.bitcast_convert_type(x_u8 ^ jnp.uint8(0x80), jnp.int8)
+    acc = lax.conv_general_dilated(
+        xs, wq, window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)), dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    ones = jnp.ones((1,) + x_u8.shape[1:], jnp.float32)
+    m = lax.conv_general_dilated(
+        ones, wq.astype(jnp.float32), window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)), dimension_numbers=_DN)
+    eff = wscale * jnp.asarray(scale, jnp.float32)
+    y = (acc.astype(jnp.float32) + 128.0 * m) * eff \
+        + jnp.asarray(bias, jnp.float32)
+    return activate(y, act).astype(float_dtype)
+
+
 def conv2d_int8(xq, wq, x_scale: float, w_scale, bias, *, stride: int,
                 pad: int, groups: int, act: int, out_scale=None,
                 float_dtype=jnp.bfloat16):

@@ -45,6 +45,57 @@ def test_conv_vs_oracle(case):
     np.testing.assert_allclose(np.asarray(got[0]), want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("stride,pad", [(2, 1), (1, 1), (1, 0)])
+def test_conv0_int8_exact_when_representable(stride, pad):
+    """conv0_int8_from_u8's shift + border-correction algebra is EXACT:
+    with weights chosen so per-channel quantization is lossless, the int8
+    path must equal the f32 conv bit-for-bit everywhere, borders included
+    (zero padding represents raw pixel 0, not shifted 0)."""
+    from ffcnn_tpu.ops.conv import conv0_int8_from_u8
+    fn = 8
+    x = RNG.randint(0, 256, (2, 13, 11, 3)).astype(np.uint8)
+    # integer weights with wmax pinned to 127 make wscale exactly 1.0, so
+    # quantization is lossless AND every f32 product/sum is an exact
+    # integer < 2^24 — both paths must round identically
+    w = RNG.randint(-127, 128, (3, 3, 3, fn)).astype(np.float32)
+    w[0, 0, 0, :] = 127                                  # pin wmax per oc
+    scale = (RNG.rand(fn) + 0.5).astype(np.float32)
+    bias = RNG.randn(fn).astype(np.float32)
+    got = conv0_int8_from_u8(jnp.asarray(x), jnp.asarray(w),
+                             jnp.asarray(scale), jnp.asarray(bias),
+                             stride=stride, pad=pad,
+                             act=int(Activation.LEAKY),
+                             float_dtype=jnp.float32)
+    want = conv2d_fused(jnp.asarray(x, jnp.float32), jnp.asarray(w),
+                        jnp.asarray(scale), jnp.asarray(bias),
+                        stride=stride, pad=pad, groups=1,
+                        act=int(Activation.LEAKY),
+                        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_conv0_int8_quant_error_bounded():
+    """Arbitrary float weights: the only error source is 7-bit weight
+    quantization — relative RMS error stays in bf16 territory."""
+    from ffcnn_tpu.ops.conv import conv0_int8_from_u8
+    fn = 8
+    x = RNG.randint(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+    w = (RNG.randn(3, 3, 3, fn) / 255.0).astype(np.float32)
+    scale = np.ones(fn, np.float32)
+    bias = np.zeros(fn, np.float32)
+    got = np.asarray(conv0_int8_from_u8(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias), stride=2, pad=1, act=int(Activation.LINEAR),
+        float_dtype=jnp.float32))
+    want = np.asarray(conv2d_fused(
+        jnp.asarray(x, jnp.float32), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias), stride=2, pad=1, groups=1,
+        act=int(Activation.LINEAR), precision=jax.lax.Precision.HIGHEST))
+    rel = np.sqrt(np.mean((got - want) ** 2)) / (np.sqrt(np.mean(want ** 2))
+                                                 + 1e-9)
+    assert rel < 1e-2, rel          # bf16 epsilon is 7.8e-3 — same class
+
+
 @pytest.mark.parametrize("fs,stride", [(3, 1), (5, 1), (9, 1), (2, 2),
                                        (3, 2), (2, 1)])
 @pytest.mark.parametrize("is_max", [True, False])
