@@ -44,6 +44,44 @@ DEFAULT_NORM = (1 / 255.0, 1 / 255.0, 1 / 255.0)
 NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
 
 
+def _planarize_heads(ir: NetIR, params: Dict, quant):
+    """Permute each yolo head conv's output channels into the planar
+    field-major order (ops.yolo.head_planar_permutation) so decode reads
+    contiguous channel slices.  Bit-exact relabeling (each channel is
+    computed identically); applied per-head only when safe: the conv is
+    dense, its output feeds ONLY the yolo layer, and no int8 plan entry
+    covers it.  Returns (params', {yolo_layer_index: planar?})."""
+    from .ops.yolo import head_planar_permutation
+    referenced = set()
+    for l in ir.layers:
+        if l.type in (LayerType.ROUTE, LayerType.SHORTCUT):
+            referenced.update(d + 1 for d in l.depends)
+    out = dict(params)
+    flags: Dict[int, bool] = {}
+    for yli, l in enumerate(ir.layers):
+        if l.type != LayerType.YOLO:
+            continue
+        li = yli - 1
+        conv = ir.layers[li] if li >= 0 else None
+        ok = (conv is not None and conv.type == LayerType.CONV
+              and conv.groups == 1
+              and conv.fn == 3 * (5 + l.class_num)
+              and yli not in referenced
+              and (quant is None or (li not in quant.weights
+                                     and not quant.blob_is_int8(yli))))
+        flags[yli] = ok
+        if not ok:
+            continue
+        perm = head_planar_permutation(l.class_num)
+        p = out[li]
+        w, s, b = (p["weights"], p["scale"], p["bias"]) \
+            if isinstance(p, dict) else (p.weights, p.scale, p.bias)
+        out[li] = {"weights": jnp.asarray(w)[..., perm],
+                   "scale": jnp.asarray(s)[perm],
+                   "bias": jnp.asarray(b)[perm]}
+    return out, flags
+
+
 @dataclasses.dataclass(frozen=True)
 class Detection:
     """One detection in original-image pixel coords (reference BBOX,
@@ -258,12 +296,25 @@ class Net:
             # exact-shift algebra is kept tested for when the backend's
             # int8 small-C convs improve (docs/PERF_NOTES.md).
             c0q = folded and os.environ.get("FFCNN_CONV0_INT8", "0") == "1"
+            # Planar head layout (fast/int8): head conv channels permuted
+            # field-major at trace time so decode reads contiguous slices
+            # (bit-exact; _planarize_heads).  Measured a device-time WASH
+            # on v5e (5.691 vs 5.689 ms/batch-256): the 10x10 head's
+            # decode cost is tiny-spatial tiling, not the channel gathers
+            # — so default OFF; kept tested (FFCNN_PLANAR_HEADS=1).
+            pflags = {}
+            if self.mode != "parity" and \
+                    os.environ.get("FFCNN_PLANAR_HEADS", "0") == "1":
+                params, pflags = _planarize_heads(ir, params, quant)
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
                                      fused_runs=runs, conv0_int8=c0q)
+            yolo_lis = [yli for yli, l in enumerate(ir.layers)
+                        if l.type == LayerType.YOLO]
             decoded = concat_heads([
-                decode_head(f, l, net_w, net_h)
-                for f, l in zip(feats, heads_meta)])
+                decode_head(f, l, net_w, net_h,
+                            planar=pflags.get(yli, False))
+                for f, l, yli in zip(feats, heads_meta, yolo_lis)])
             return nms(decoded.boxes, decoded.scores, decoded.classes,
                        k=topk, threshold=NMS_THRESHOLD,
                        scale1=s1, scale2=s2)
@@ -355,6 +406,19 @@ class Net:
             assert len(dets) == counts[i]
             out.append(dets)
         return out
+
+    # ----------------------------------------------------------------- export
+    def export(self, path: str, *, batch_size: int = 1, image_size=None,
+               mean=None, norm=None, platforms=None) -> int:
+        """Serialize this net's whole pixels-to-boxes pipeline for one
+        (batch, H, W) bucket as a self-contained jax.export artifact
+        (weights baked in as constants) — the deployment analog of the
+        reference's self-contained binary (readme.txt:128).  Load with
+        :func:`ffcnn_tpu.export.load_exported`; returns bytes written."""
+        from .export import export_net
+        return export_net(self, path, batch_size=batch_size,
+                          image_size=image_size, mean=mean, norm=norm,
+                          platforms=platforms)
 
     # ---------------------------------------------------------------- forward
     def forward_raw(self, x) -> List:

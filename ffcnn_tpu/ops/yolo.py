@@ -41,6 +41,28 @@ def _argmax_max(x):
             jnp.max(x, axis=-1).astype(jnp.float32))
 
 
+def head_planar_permutation(class_num: int, anchors: int = 3) -> np.ndarray:
+    """Output-channel permutation turning a yolo head conv's
+    ``[anchor-major: (tx ty tw th bs c0..c79) x3]`` layout into the
+    decode-friendly planar ``[tx(3) ty(3) tw(3) th(3) bs(3) cls_a0(80)
+    cls_a1(80) cls_a2(80)]`` layout: every decode field becomes ONE
+    contiguous channel slice instead of three stride-85 picks.
+
+    Permuting a conv's output channels (weights axis 3 + scale/bias) is a
+    trace-time relabeling — each channel is computed identically, so the
+    decoded result is bit-exact.  ``perm[new] = old``."""
+    per = 5 + class_num
+    perm = np.empty(anchors * per, np.int64)
+    for k in range(5):
+        for a in range(anchors):
+            perm[k * anchors + a] = a * per + k
+    base = 5 * anchors
+    for a in range(anchors):
+        for c in range(class_num):
+            perm[base + a * class_num + c] = a * per + 5 + c
+    return perm
+
+
 class DecodedBoxes(NamedTuple):
     boxes: jnp.ndarray     # (N, M, 4) x1,y1,x2,y2 in net-input pixels
     scores: jnp.ndarray    # (N, M) confidence, 0 where below threshold
@@ -52,7 +74,8 @@ class DecodedBoxes(NamedTuple):
     #                        re-casts the selected K to int32.)
 
 
-def decode_head(feat, layer: Layer, net_w: int, net_h: int) -> DecodedBoxes:
+def decode_head(feat, layer: Layer, net_w: int, net_h: int, *,
+                planar: bool = False) -> DecodedBoxes:
     """feat: (N, h, w, 3*(5+classes)) raw conv output of a yolo head.
 
     The head is sliced BEFORE casting: the box/confidence channels (tiny
@@ -61,7 +84,12 @@ def decode_head(feat, layer: Layer, net_w: int, net_h: int) -> DecodedBoxes:
     float format) — so the bulk (N,h,w,255) tensor is read once in bf16
     instead of being materialized as an f32 copy first.
 
-    Two formulations (bit-identical; FFCNN_DECODE_IMPL overrides):
+    Three formulations (bit-identical; FFCNN_DECODE_IMPL overrides):
+      * 'planar' (``planar=True``): the head conv's output channels were
+        pre-permuted with :func:`head_planar_permutation`, so every field
+        is ONE contiguous channel slice — tx = f[..., 0:3] etc. — and the
+        per-anchor stacking (the source of the measured T(1,128) relayout
+        copies at the 10x10 head) disappears entirely.
       * 'anchor-slice' (default): per-anchor lane-range slices of the FLAT
         channel axis — no (...,3,85) reshape, so all field reads + the
         class argmax can join one multi-output fusion over the head tensor.
@@ -72,7 +100,15 @@ def decode_head(feat, layer: Layer, net_w: int, net_h: int) -> DecodedBoxes:
     n, h, w, _ = feat.shape
     nc = layer.class_num
     per = 5 + nc
-    if os.environ.get("FFCNN_DECODE_IMPL", "anchor-slice") == "reshape":
+    if planar:
+        f32 = lambda v: v.astype(jnp.float32)
+        tx, ty, tw, th, bs = (f32(feat[..., 3 * k: 3 * k + 3])
+                              for k in range(5))          # (N, h, w, 3)
+        am = [_argmax_max(feat[..., 15 + a * nc: 15 + (a + 1) * nc])
+              for a in range(3)]
+        cidx = jnp.stack([a for a, _ in am], axis=-1)
+        cs = jnp.stack([c for _, c in am], axis=-1)
+    elif os.environ.get("FFCNN_DECODE_IMPL", "anchor-slice") == "reshape":
         f = feat.reshape(n, h, w, 3, per)
         tx = f[..., 0].astype(jnp.float32)
         ty = f[..., 1].astype(jnp.float32)

@@ -122,3 +122,43 @@ def test_decode_impls_bit_identical(monkeypatch):
                         ("boxes", "scores", "classes")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+def test_planar_decode_bit_identical():
+    """Planar head layout: permuting the head channels field-major and
+    decoding with planar=True must match the stock decode bit-for-bit."""
+    from ffcnn_tpu.darknet.ir import Layer, LayerType
+    from ffcnn_tpu.ops.yolo import decode_head, head_planar_permutation
+
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(
+        np.round(rng.randn(4, 6, 5, 255) * 2) / 2, jnp.bfloat16)
+    lay = Layer(index=0, type=LayerType.YOLO, class_num=80,
+                ignore_thres=0.45,
+                anchors=((115, 73), (119, 199), (242, 238)), scale_x_y=1.05)
+    want = decode_head(feat, lay, 320, 320)
+    got = decode_head(feat[..., head_planar_permutation(80)], lay, 320, 320,
+                      planar=True)
+    for a, b, nm in zip(got, want, ("boxes", "scores", "classes")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
+
+
+def test_planar_pipeline_bit_identical(ref_cfg, ref_weights, monkeypatch):
+    """Whole fast pipeline with FFCNN_PLANAR_HEADS on vs off: the channel
+    permutation is a relabeling, so detect_device must be bit-identical."""
+    import conftest
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
+
+    img = bmp_load(conftest.fixture_path("test320.bmp"))
+    batch = img[None]
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("FFCNN_PLANAR_HEADS", flag)
+        net = Net.load(ref_cfg, ref_weights, mode="fast")
+        outs[flag] = net.detect_device(batch)
+    for a, b, nm in zip(outs["1"], outs["0"],
+                        ("boxes", "scores", "classes", "count", "sat")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
