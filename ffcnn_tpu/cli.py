@@ -66,16 +66,18 @@ def cmd_bench(args) -> int:
 
     batch = np.random.randint(0, 255, (args.batch, args.size, args.size, 3),
                               np.uint8)
-    if args.dp:
-        # data-parallel over every local device (parallel/dp.py); batch is
-        # sharded on the mesh data axis, params replicated
+    if args.dp or args.sp > 1:
+        # mesh pipeline (parallel/dp.py): batch sharded on the data axis,
+        # params replicated; --sp N additionally shards image rows over a
+        # spatial axis (halo exchanges inserted by the SPMD partitioner —
+        # the few-huge-images latency regime)
         from .darknet import parse_cfg, load_weights
         from .graph.build import params_to_pytree
         from .parallel import build_sharded_pipeline, make_mesh
 
         ir = parse_cfg(args.cfg, args.size, args.size)
         params = params_to_pytree(load_weights(ir, args.weights)[0])
-        mesh = make_mesh()
+        mesh = make_mesh(spatial_parallel=args.sp)
         fn, place = build_sharded_pipeline(
             ir, mesh, args.size, args.size,
             dtype=jnp.bfloat16 if args.mode == "fast" else jnp.float32)
@@ -83,7 +85,7 @@ def cmd_bench(args) -> int:
         mean = jnp.zeros(3, jnp.float32)
         norm = jnp.full(3, 1 / 255.0, jnp.float32)
         run = lambda: fn(placed, jnp.asarray(batch), mean, norm)
-        label = "dp x%d" % len(jax.devices())
+        label = "mesh %s" % dict(mesh.shape)
     else:
         from . import Net
         net = Net.load(args.cfg, args.weights, args.size, args.size,
@@ -137,7 +139,21 @@ def cmd_batch(args) -> int:
     return 0
 
 
-_JIT_COMMANDS = {"detect", "bench", "profile", "batch"}
+def cmd_export(args) -> int:
+    from . import Net
+
+    net = Net.load(args.cfg, args.weights, args.size, args.size,
+                   mode=args.mode)
+    size = None if args.size == 0 else (args.size, args.size)
+    platforms = args.platforms.split(",") if args.platforms else None
+    n = net.export(args.out, batch_size=args.batch, image_size=size,
+                   platforms=platforms)
+    print(f"wrote {args.out}: {n} bytes "
+          f"(batch {args.batch}, platforms {platforms or 'current'})")
+    return 0
+
+
+_JIT_COMMANDS = {"detect", "bench", "profile", "batch", "export"}
 
 
 def main(argv=None) -> int:
@@ -163,6 +179,10 @@ def main(argv=None) -> int:
     pb.add_argument("--iters", type=int, default=10)
     pb.add_argument("--dp", action="store_true",
                     help="shard the batch over all local devices (DP mesh)")
+    pb.add_argument("--sp", type=int, default=1, metavar="N",
+                    help="also shard image rows over an N-way spatial mesh "
+                         "axis (sequence-parallel analog; batch must divide "
+                         "devices/N)")
     _add_model_args(pb)
     pb.set_defaults(mode="fast")
 
@@ -173,6 +193,17 @@ def main(argv=None) -> int:
     pf.add_argument("--iters", type=int, default=10)
     _add_model_args(pf)
     pf.set_defaults(mode="fast")
+
+    pe = sub.add_parser(
+        "export", help="serialize a weights-baked AOT pipeline artifact")
+    pe.add_argument("out", help="artifact output path")
+    pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument("--size", type=int, default=0,
+                    help="incoming image size (0 = net input size)")
+    pe.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms (e.g. tpu)")
+    _add_model_args(pe)
+    pe.set_defaults(mode="fast")
 
     pm = sub.add_parser("batch", help="batch detection over many BMPs")
     pm.add_argument("images", nargs="+")
@@ -191,7 +222,8 @@ def main(argv=None) -> int:
         from . import enable_compile_cache
         enable_compile_cache()
     return {"detect": cmd_detect, "dump": cmd_dump, "bench": cmd_bench,
-            "profile": cmd_profile, "batch": cmd_batch}[args.cmd](args)
+            "profile": cmd_profile, "batch": cmd_batch,
+            "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":
