@@ -115,3 +115,81 @@ def load_exported(path: str) -> ExportedNet:
     (spec,) = exp.in_avals
     return ExportedNet(_exported=exp, in_shape=tuple(spec.shape),
                        platforms=tuple(exp.platforms))
+
+
+class ArtifactNet:
+    """Net-shaped facade over exported artifacts, for serving without the
+    framework's model half: ``serve.py --artifact a.ffx [...]`` gives a
+    worker that holds ONLY deploy artifacts — no cfg parsing, no weights
+    loading, no graph building at startup (the reference analog: shipping
+    the compiled binary instead of the build tree).
+
+    Routing: a ``detect(batch)`` call picks the artifact with the batch's
+    (H, W) and the smallest exported batch >= n, padding with zero images
+    (the micro-batcher already pads to powers of two, so export matching
+    buckets: 1, 2, ..., max_batch)."""
+
+    def __init__(self, paths: Sequence[str]):
+        if not paths:
+            raise ValueError("at least one artifact path required")
+        self._buckets = {}                  # (h, w) -> [(n, ExportedNet)]
+        self.paths = tuple(paths)
+        for p in paths:
+            art = load_exported(p)
+            n, h, w, _ = art.in_shape
+            self._buckets.setdefault((h, w), []).append((n, art))
+        for v in self._buckets.values():
+            v.sort(key=lambda t: t[0])
+
+    @property
+    def input_hw(self) -> Tuple[int, int]:
+        return next(iter(self._buckets))
+
+    @property
+    def max_batch(self) -> int:
+        return max(n for v in self._buckets.values() for n, _ in v)
+
+    def _pick(self, h: int, w: int, n: int) -> ExportedNet:
+        sizes = self._buckets.get((h, w))
+        if sizes is None:
+            raise ValueError(
+                f"no artifact for {h}x{w} images (have "
+                f"{sorted(self._buckets)})")
+        for bn, art in sizes:
+            if bn >= n:
+                return art
+        raise ValueError(f"batch {n} exceeds largest {h}x{w} artifact "
+                         f"({sizes[-1][0]})")
+
+    def detect(self, images):
+        """(N, H, W, 3) uint8 batch -> list of Detection lists (same host
+        conversion as Net.detect; no saturation retry — export the net
+        with the topk the deployment needs)."""
+        from .net import Net
+
+        batch = np.asarray(images)
+        n, h, w, _ = batch.shape
+        art = self._pick(h, w, n)
+        bn = art.in_shape[0]
+        if bn != n:
+            batch = np.concatenate(
+                [batch, np.zeros((bn - n,) + batch.shape[1:], np.uint8)])
+        res = art.call(batch)
+        return Net._to_detections(res)[:n]
+
+    def warmup(self, image_sizes=None, batch_sizes=None) -> None:
+        """Run every artifact once (arguments accepted for Net interface
+        compatibility; artifacts are fixed-shape so they warm themselves)."""
+        for (h, w), sizes in self._buckets.items():
+            for n, art in sizes:
+                jax.block_until_ready(
+                    art.call(np.zeros((n, h, w, 3), np.uint8)))
+
+    def dump(self) -> str:
+        """Inventory table (the graph is sealed inside the artifacts)."""
+        lines = ["exported artifacts:"]
+        for (h, w), sizes in sorted(self._buckets.items()):
+            for n, art in sizes:
+                lines.append(f"  {h}x{w} batch {n:4d}  platforms "
+                             f"{','.join(art.platforms)}")
+        return "\n".join(lines) + "\n"

@@ -170,7 +170,10 @@ class DetectorService:
         # Probe at the model's own input size: each distinct request image
         # size still compiles its own pipeline bucket lazily on first use,
         # but the common case (images at/near net dims) is hot at ready time.
-        self._probe_hw = probe_hw or (net.ir.blobs[0].h, net.ir.blobs[0].w)
+        # (ArtifactNet workers have fixed shapes and expose input_hw.)
+        self._probe_hw = probe_hw or (
+            net.input_hw if hasattr(net, "input_hw")
+            else (net.ir.blobs[0].h, net.ir.blobs[0].w))
         # Warm every batch bucket the batcher can emit (1,2,4,...,max_batch):
         # otherwise the first concurrent burst after /healthz goes green pays
         # a full-graph compile per new bucket.  The persistent compile cache
@@ -291,10 +294,26 @@ def main(argv=None) -> int:
     ap.add_argument("--quant-plan", default=None,
                     help="int8 calibration cache: loaded if it exists, "
                          "else written after calibrating from --calib")
+    ap.add_argument("--artifact", nargs="*", default=None,
+                    help="serve from jax.export artifacts (ffcnn export) "
+                         "instead of cfg/weights — the worker needs no "
+                         "model files and builds no graph; export buckets "
+                         "1,2,4,... up to the wanted max batch")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--cache-dir", default=None)
     args = ap.parse_args(argv)
+
+    if args.artifact:
+        from .export import ArtifactNet
+        net = ArtifactNet(args.artifact)
+        service = DetectorService(net, max_batch=net.max_batch)
+        server = make_server(service, args.host, args.port)
+        threading.Thread(target=service.warmup, daemon=True).start()
+        print(f"serving {len(args.artifact)} artifact(s) on "
+              f"http://{args.host}:{server.server_address[1]}")
+        server.serve_forever()
+        return 0
 
     from . import Net
     net = Net.load(args.cfg, args.weights, mode=args.mode,

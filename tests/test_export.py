@@ -64,6 +64,78 @@ def test_export_artifact_is_self_contained(micro_net, tmp_path):
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(want[3]))
 
 
+def test_artifact_net_serving(micro_net, tmp_path):
+    """ArtifactNet routes to the right bucket, pads, and serves through
+    DetectorService end-to-end — a worker with only artifact files."""
+    from ffcnn_tpu.export import ArtifactNet
+    from ffcnn_tpu.serve import DetectorService
+
+    net = micro_net
+    net_h, net_w = net.ir.blobs[0].h, net.ir.blobs[0].w
+    p1 = str(tmp_path / "b1.ffx")
+    p4 = str(tmp_path / "b4.ffx")
+    net.export(p1, batch_size=1)
+    net.export(p4, batch_size=4)
+
+    anet = ArtifactNet([p1, p4])
+    assert anet.input_hw == (net_h, net_w)
+    assert anet.max_batch == 4
+    assert "batch    4" in anet.dump()
+
+    rng = np.random.RandomState(3)
+    batch = rng.randint(0, 256, (3, net_h, net_w, 3), dtype=np.uint8)
+    got = anet.detect(batch)                  # pads 3 -> the 4-bucket
+    want = net.detect(batch)
+    assert len(got) == 3
+    for g, w_ in zip(got, want):
+        assert [d.class_id for d in g] == [d.class_id for d in w_]
+        for a, b in zip(g, w_):
+            assert abs(a.score - b.score) < 1e-6
+
+    with pytest.raises(ValueError, match="exceeds largest"):
+        anet.detect(np.zeros((5, net_h, net_w, 3), np.uint8))
+    with pytest.raises(ValueError, match="no artifact for"):
+        anet.detect(np.zeros((1, net_h + 32, net_w, 3), np.uint8))
+
+    svc = DetectorService(anet, max_batch=anet.max_batch)
+    svc.warmup()
+    assert svc.ready
+    from ffcnn_tpu.imageio.bmp import bmp_save
+    p = str(tmp_path / "req.bmp")
+    bmp_save(p, batch[0])
+    dets = svc.detect_bmp_bytes(open(p, "rb").read())
+    assert dets == [{"score": round(d.score, 4), "class_id": d.class_id,
+                     "box": [round(v, 2) for v in (d.x1, d.y1, d.x2, d.y2)]}
+                    for d in want[0]]
+
+
+def test_export_int8_mode_roundtrip(tmp_path):
+    """Export composes with the int8 pipeline (quantized weights + scales
+    baked into the artifact like the float ones)."""
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.export import load_exported
+
+    ir = parse_cfg(MICRO)
+    wpath = str(tmp_path / "micro.weights")
+    with open(wpath, "wb") as f:
+        f.write(synth_weights_bytes(ir, seed=7, obj_bias=2.0))
+    net = Net.load(MICRO, wpath, mode="int8")
+    net_h, net_w = ir.blobs[0].h, ir.blobs[0].w
+    rng = np.random.RandomState(5)
+    calib = rng.randint(0, 256, (2, net_h, net_w, 3), dtype=np.uint8)
+    net.calibrate(calib)
+
+    path = str(tmp_path / "micro_int8.ffx")
+    net.export(path, batch_size=2)
+    art = load_exported(path)
+    got = art.call(calib)
+    want = net.detect_device(calib)
+    for a, b, nm in zip(got, want,
+                        ("boxes", "scores", "classes", "count", "sat")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
+
+
 def test_export_rejects_wrong_shape(micro_net, tmp_path):
     from ffcnn_tpu.export import load_exported
 
