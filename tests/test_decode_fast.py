@@ -144,6 +144,40 @@ def test_planar_decode_bit_identical():
                                       err_msg=nm)
 
 
+def test_planarize_heads_safety_flags(ref_cfg):
+    """_planarize_heads must refuse heads whose conv output has consumers
+    besides the yolo layer, and permute params only for safe heads."""
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.ir import LayerType
+    from ffcnn_tpu.darknet.weights import zero_weights
+    from ffcnn_tpu.graph.build import params_to_pytree
+    from ffcnn_tpu.net import _planarize_heads
+
+    ir = parse_cfg(ref_cfg)
+    params = params_to_pytree(zero_weights(ir))
+    out, flags = _planarize_heads(ir, params, None)
+    yolo_lis = [li for li, l in enumerate(ir.layers)
+                if l.type == LayerType.YOLO]
+    assert set(flags) == set(yolo_lis)
+    assert all(flags.values())          # flagship heads are all safe
+    for yli in yolo_lis:
+        assert out[yli - 1]["weights"].shape \
+            == params[yli - 1]["weights"].shape
+        assert out[yli - 1] is not params[yli - 1]
+
+    # Synthetic unsafe case: a route also consumes the head conv's blob.
+    import dataclasses
+    ir2 = parse_cfg(ref_cfg)
+    bad = list(ir2.layers)
+    route = next(l for l in bad if l.type == LayerType.ROUTE)
+    bad[bad.index(route)] = dataclasses.replace(
+        route, depends=(yolo_lis[0] - 1,))  # references blob yolo_lis[0]
+    ir2 = dataclasses.replace(ir2, layers=tuple(bad))
+    _, flags2 = _planarize_heads(ir2, params, None)
+    assert not flags2[yolo_lis[0]]
+    assert flags2[yolo_lis[1]]
+
+
 def test_planar_pipeline_bit_identical(ref_cfg, ref_weights, monkeypatch):
     """Whole fast pipeline with FFCNN_PLANAR_HEADS on vs off: the channel
     permutation is a relabeling, so detect_device must be bit-identical."""

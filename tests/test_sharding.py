@@ -211,6 +211,19 @@ def test_dp_int8_equivalence(ref_cfg, ref_weights):
     assert int(np.asarray(got.count).sum()) >= 8   # actually detects things
 
 
+def test_make_mesh_validation_and_axes():
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(jax.devices()[:6], model_parallel=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(spatial_parallel=3)
+    from ffcnn_tpu.parallel import activation_sharding, batch_sharding
+    m = make_mesh()                               # spatial axis size 1
+    assert activation_sharding(m) == batch_sharding(m)
+    m2 = make_mesh(spatial_parallel=2)
+    assert activation_sharding(m2) != batch_sharding(m2)
+    assert dict(m2.shape) == {"data": 4, "spatial": 2, "model": 1}
+
+
 def test_tp_sharding_report():
     """The TP fall-back to replication is reported, not silent."""
     ir, params = _tiny_net()
