@@ -213,10 +213,15 @@ def _make_kernel(rows: int, width: int, n: int, acts, residual: bool,
 
 
 def _pick_rows(h: int, e: int, s: int) -> int:
-    """Rows per grid step: bound the f32 working set (~(R+2) expand rows)."""
-    budget = 48 << 20
-    for r in (8, 5, 4, 2, 1):
-        if h % r == 0 and (r + 2) * e * (s + 512) * 4 * 2 <= budget:
+    """Rows per grid step: prefer the FEWEST grid steps whose f32 working
+    set (~(R+2) expand rows of (E, S+2N) plus outputs) fits VMEM — whole-H
+    steps measured fastest at the head geometries (152.9 vs 165.1 us/block
+    at 20x20/C24/E136, chained device time; grid-step DMA overlap matters
+    less than per-step ramp at these sizes)."""
+    budget = 80 << 20
+    for r in (h, 10, 8, 5, 4, 2, 1):
+        if r <= h and h % r == 0 and \
+                (r + 2) * e * (s + 256) * 4 * 13 // 10 <= budget:
             return r
     return 1
 
