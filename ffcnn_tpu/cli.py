@@ -114,6 +114,11 @@ def cmd_profile(args) -> int:
         batch=np.zeros((args.batch, args.size, args.size, 3), np.uint8),
         iters=args.iters)
     sys.stdout.write(rep.render())
+    m = net.memory_stats(batch_size=args.batch)
+    print("memory (batch %d): peak %.1f MB  (args %.1f, temp %.1f, "
+          "output %.1f, code %.1f)"
+          % (args.batch, m["peak"] / 1e6, m["args"] / 1e6, m["temp"] / 1e6,
+             m["output"] / 1e6, m["code"] / 1e6))
     return 0
 
 

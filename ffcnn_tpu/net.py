@@ -407,6 +407,25 @@ class Net:
             out.append(dets)
         return out
 
+    def memory_stats(self, batch_size: int = 1, image_size=None,
+                     mean=None, norm=None) -> Dict[str, int]:
+        """Compiled HBM footprint of one pipeline bucket, in bytes — the
+        analog of the reference's published 5 MB peak (readme.txt:127).
+        Keys: ``args`` (input buffers), ``temp`` (XLA scratch = the live-
+        blob high-water mark the C refcount allocator managed by hand),
+        ``output``, ``code``, ``peak``.  Compiles the bucket if needed."""
+        net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
+        img_h, img_w = image_size or (net_h, net_w)
+        fn = self._pipeline_for(img_h, img_w, mean or DEFAULT_MEAN,
+                                norm or DEFAULT_NORM)
+        spec = jax.ShapeDtypeStruct((batch_size, img_h, img_w, 3), jnp.uint8)
+        m = fn.lower(spec).compile().memory_analysis()
+        return {"args": m.argument_size_in_bytes,
+                "temp": m.temp_size_in_bytes,
+                "output": m.output_size_in_bytes,
+                "code": m.generated_code_size_in_bytes,
+                "peak": m.peak_memory_in_bytes}
+
     # ----------------------------------------------------------------- export
     def export(self, path: str, *, batch_size: int = 1, image_size=None,
                mean=None, norm=None, platforms=None) -> int:

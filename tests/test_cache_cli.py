@@ -64,6 +64,19 @@ def test_net_load_with_cache(micro_files, tmp_path):
     assert any(f.startswith("ffcnn-params-") for f in os.listdir(cache_dir))
 
 
+def test_memory_stats(micro_files):
+    """memory_stats reports the compiled bucket's HBM footprint — the
+    net_forward peak-memory observability analog (readme.txt:127)."""
+    from ffcnn_tpu import Net
+    cfg, wpath = micro_files
+    net = Net.load(cfg, wpath, mode="fast")
+    m = net.memory_stats(batch_size=2)
+    assert set(m) == {"args", "temp", "output", "code", "peak"}
+    h, w = net.ir.blobs[0].h, net.ir.blobs[0].w
+    assert m["args"] >= 2 * h * w * 3            # the uint8 input batch
+    assert m["peak"] > 0 and m["temp"] >= 0
+
+
 def test_cli_dump_and_batch(micro_files, tmp_path, capsys):
     from ffcnn_tpu import cli
     from ffcnn_tpu.imageio.bmp import bmp_save
