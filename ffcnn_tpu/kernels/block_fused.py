@@ -174,18 +174,34 @@ def _make_kernel(rows: int, width: int, n: int, acts, residual: bool,
                  res_act: int):
     R, W, N = rows, width, n
 
+    import os
+    batched = os.environ.get("FFCNN_FUSED_DOTMODE", "loop") == "batched"
+
     def kern(xt, xc, xb, w1, s1, b1, kdw, s2, b2, w2, s3, b3, o_ref):
         h = pl.program_id(0)
         nh = pl.num_programs(0)
         E = w1.shape[0]
         S = W * N
         src = [xt[0], *[xc[r] for r in range(R)], xb[0]]
+        if batched:
+            # One rank-3 MXU dot for all rows' pw-expand (Mosaic lowers
+            # rank-3 dot_general + static middle-dim indexing; measured
+            # vs the per-row loop — see docs/PERF_NOTES.md session 3).
+            xs = jnp.stack([r.astype(jnp.float32) for r in src])
+            a3 = lax.dot_general(w1[...], xs, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            a3 = activate(a3 * s1[...][..., None] + b1[...][..., None],
+                          acts[0])
+            rows = [a3[:, i] for i in range(R + 2)]
+        else:
+            rows = [activate(lax.dot_general(
+                        w1[...], xr.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) * s1[...]
+                        + b1[...], acts[0])
+                    for xr in src]
         h1 = []
-        for idx, xr in enumerate(src):
-            a = lax.dot_general(w1[...], xr.astype(jnp.float32),
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            a = activate(a * s1[...] + b1[...], acts[0])
+        for idx, a in enumerate(rows):
             # dw zero padding applies AFTER the pw epilogue: at the image's
             # top/bottom the halo row of h1 itself must be zero
             if idx == 0:
