@@ -151,10 +151,16 @@ def cmd_export(args) -> int:
                    mode=args.mode)
     size = None if args.size == 0 else (args.size, args.size)
     platforms = args.platforms.split(",") if args.platforms else None
-    n = net.export(args.out, batch_size=args.batch, image_size=size,
-                   platforms=platforms)
-    print(f"wrote {args.out}: {n} bytes "
-          f"(batch {args.batch}, platforms {platforms or 'current'})")
+    batches = [int(b) for b in str(args.batch).split(",")]
+    for b in batches:
+        # one artifact per batch bucket; multi-batch -> suffix .b{n}
+        out = args.out if len(batches) == 1 else \
+            "%s.b%d%s" % (os.path.splitext(args.out)[0], b,
+                          os.path.splitext(args.out)[1])
+        n = net.export(out, batch_size=b, image_size=size,
+                       platforms=platforms)
+        print(f"wrote {out}: {n} bytes "
+              f"(batch {b}, platforms {platforms or 'current'})")
     return 0
 
 
@@ -202,7 +208,9 @@ def main(argv=None) -> int:
     pe = sub.add_parser(
         "export", help="serialize a weights-baked AOT pipeline artifact")
     pe.add_argument("out", help="artifact output path")
-    pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument("--batch", default="1",
+                    help="batch bucket, or comma list (1,2,4 -> one "
+                         "artifact per bucket, suffixed .bN)")
     pe.add_argument("--size", type=int, default=0,
                     help="incoming image size (0 = net input size)")
     pe.add_argument("--platforms", default=None,

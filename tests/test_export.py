@@ -109,6 +109,24 @@ def test_artifact_net_serving(micro_net, tmp_path):
                     for d in want[0]]
 
 
+def test_cli_export_multi_bucket(tmp_path, capsys):
+    from ffcnn_tpu.cli import main
+    from ffcnn_tpu.export import ArtifactNet
+
+    ir = parse_cfg(MICRO)
+    wpath = str(tmp_path / "micro.weights")
+    with open(wpath, "wb") as f:
+        f.write(synth_weights_bytes(ir, seed=7, obj_bias=2.0))
+    out = str(tmp_path / "m.ffx")
+    assert main(["export", out, "--batch", "1,2", "--mode", "fast",
+                 "--cfg", MICRO, "--weights", wpath]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    anet = ArtifactNet([str(tmp_path / "m.b1.ffx"),
+                        str(tmp_path / "m.b2.ffx")])
+    assert anet.max_batch == 2
+
+
 def test_export_int8_mode_roundtrip(tmp_path):
     """Export composes with the int8 pipeline (quantized weights + scales
     baked into the artifact like the float ones)."""
