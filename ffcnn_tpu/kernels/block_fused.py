@@ -113,7 +113,7 @@ def find_fused_blocks(ir: NetIR) -> Dict[int, FusedBlock]:
     return out
 
 
-def plan_runs(ir: NetIR, min_channels: int = MIN_CHANNELS) -> List[FusedRun]:
+def plan_runs(ir: NetIR, min_channels: Optional[int] = None) -> List[FusedRun]:
     """Group eligible blocks into maximal consecutive runs sharing one
     layout round-trip.  A block joins only when its input blob has
     >= min_channels channels (the measured XLA/kernel crossover).  Two
@@ -121,6 +121,9 @@ def plan_runs(ir: NetIR, min_channels: int = MIN_CHANNELS) -> List[FusedRun]:
     ONLY from inside the second block (its own residual shortcut — which
     the kernel satisfies internally); any outside reference forces the
     boundary blob to materialize, ending the run there."""
+    import os
+    if min_channels is None:
+        min_channels = int(os.environ.get("FFCNN_FUSED_MINC", MIN_CHANNELS))
     blocks = find_fused_blocks(ir)
     eligible = [b for s, b in sorted(blocks.items())
                 if ir.blobs[b.start].c >= min_channels]
