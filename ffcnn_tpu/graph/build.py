@@ -59,7 +59,7 @@ def fold_input_transform(ir: NetIR, params: Dict, mean, norm) -> Dict:
 def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                      accum_dtype=jnp.float32, input_dtype=None,
                      quant=None, blob_hook=None, fused_runs=None,
-                     fused_interpret: bool = False,
+                     head_runs=None, fused_interpret: bool = False,
                      conv0_int8: bool = False) -> List:
     """Run the graph body.  ``x``: (N, H, W, C) net input.  Returns the raw
     (N, h, w, 3*(5+classes)) feature map feeding each yolo layer, in graph
@@ -212,9 +212,21 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
         raise ValueError(f"unsupported layer type {t}")
 
     run_map = {r.start: r for r in (fused_runs or [])}
+    head_map = {r.start: r for r in (head_runs or [])}
     skip_until = -1
     for li, layer in enumerate(ir.layers):
         if li < skip_until:
+            continue
+        if li in head_map:
+            from ..kernels.head_fused import apply_head_run
+            r = head_map[li]
+            with jax.named_scope(f"L{li:03d}_headrun_to_{r.end:03d}"):
+                y = apply_head_run(deq(li), ir, params, r,
+                                   interpret=fused_interpret)
+                blobs[r.end + 1] = store(r.end + 1, y)
+            skip_until = r.end + 1
+            if blob_hook is not None:
+                blob_hook(r.end + 1, blobs[r.end + 1])
             continue
         if li in run_map:
             from ..kernels.block_fused import apply_run

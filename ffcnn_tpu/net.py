@@ -116,6 +116,14 @@ class Net:
             self._fused_runs = plan_runs(ir)
         else:
             self._fused_runs = []
+        # Fused head chains (kernels/head_fused.py): float modes only —
+        # an int8 plan may assign chain-interior blobs int8 storage, which
+        # fusing would silently skip.
+        if mode == "fast":
+            from .kernels.head_fused import plan_head_runs
+            self._head_runs = plan_head_runs(ir)
+        else:
+            self._head_runs = []
         if mode == "parity":
             self._dtype = jnp.float32
             self._precision = jax.lax.Precision.HIGHEST
@@ -271,6 +279,7 @@ class Net:
 
         quant = self.quant
         fused_runs = self._fused_runs
+        head_runs = self._head_runs
         net_params = self.params
 
         # self.params is captured as a trace-time CONSTANT, not an argument:
@@ -281,8 +290,12 @@ class Net:
         def pipeline(bgr):
             import os
             from .kernels.block_fused import runs_usable
+            from .kernels.head_fused import head_runs_usable
             runs = fused_runs if (fused_runs
                                   and runs_usable(bgr.shape[0])) else None
+            hruns = head_runs if (head_runs
+                                  and head_runs_usable(bgr.shape[0])) \
+                else None
             params = net_params
             if folded:
                 params = fold_input_transform(ir, params, mean, norm)
@@ -308,7 +321,8 @@ class Net:
                 params, pflags = _planarize_heads(ir, params, quant)
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
-                                     fused_runs=runs, conv0_int8=c0q)
+                                     fused_runs=runs, head_runs=hruns,
+                                     conv0_int8=c0q)
             yolo_lis = [yli for yli, l in enumerate(ir.layers)
                         if l.type == LayerType.YOLO]
             decoded = concat_heads([
