@@ -64,6 +64,23 @@ def test_net_load_with_cache(micro_files, tmp_path):
     assert any(f.startswith("ffcnn-params-") for f in os.listdir(cache_dir))
 
 
+def test_cli_bench_and_profile_smoke(micro_files, capsys):
+    """The bench and profile subcommands run end-to-end on CPU (tiny
+    micro-model settings); output shape only — numbers are meaningless
+    off-TPU."""
+    from ffcnn_tpu.cli import main
+    cfg, wpath = micro_files
+    size = 64
+    assert main(["bench", "--batch", "2", "--size", str(size), "--iters",
+                 "1", "--cfg", cfg, "--weights", wpath]) == 0
+    out = capsys.readouterr().out
+    assert "img/s" in out
+    assert main(["profile", "--batch", "2", "--size", str(size), "--iters",
+                 "1", "--cfg", cfg, "--weights", wpath]) == 0
+    out = capsys.readouterr().out
+    assert "conv" in out and "memory" in out
+
+
 def test_memory_stats(micro_files):
     """memory_stats reports the compiled bucket's HBM footprint — the
     net_forward peak-memory observability analog (readme.txt:127)."""
