@@ -32,12 +32,17 @@ def bmp_decode(raw: bytes) -> np.ndarray:
     array — the one shared framing implementation (reference semantics:
     54-byte header, bottom-up rows, ALIGN(w*3,4) stride, bfOffBits ignored,
     bmpfile.c:42-69)."""
+    if len(raw) < _HEADER_BYTES:
+        raise ValueError(f"truncated BMP header ({len(raw)} bytes)")
     fields = struct.unpack_from(_HEADER_FMT, raw, 0)
     magic, width, height, bitcount = fields[0], fields[6], fields[7], fields[9]
     if magic != 0x4D42:
         raise ValueError("not a BMP file")
     if bitcount != 24:
         raise ValueError(f"only 24-bit BMPs supported (got {bitcount})")
+    if not (0 < width <= 1 << 15 and 0 < abs(height) <= 1 << 15):
+        # same bounds as the native codec (hostile-header hardening)
+        raise ValueError(f"unreasonable BMP dims {width}x{height}")
     flip = height > 0          # positive height = bottom-up rows (the norm)
     height = abs(height)
     stride = _align4(width * 3)

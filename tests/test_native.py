@@ -121,3 +121,30 @@ def test_native_rejects_hostile_dims(native, tmp_path):
     p.write_bytes(bytes(raw))
     with pytest.raises((IOError, ValueError)):
         native.bmp_load(str(p))
+
+
+def test_bmp_decode_fuzz_never_crashes():
+    """Random garbage and truncations must raise ValueError cleanly from
+    the pure-python decoder (the serving ingest path) — no hangs, no
+    absurd allocations, no non-ValueError crashes."""
+    from ffcnn_tpu.imageio.bmp import bmp_decode
+
+    rng = np.random.RandomState(0)
+    good = open(REF_BMP, "rb").read()
+    cases = [b"", b"BM", rng.bytes(10), rng.bytes(100), rng.bytes(4096),
+             good[:40], good[:54], good[:200]]
+    for i in range(50):            # bit-flipped headers on a real file
+        raw = bytearray(good[:4096])
+        for _ in range(4):
+            raw[rng.randint(0, 64)] ^= 1 << rng.randint(0, 8)
+        cases.append(bytes(raw))
+    ok = 0
+    for raw in cases:
+        try:
+            img = bmp_decode(bytes(raw))
+            ok += 1                # a surviving mutation must still be sane
+            assert img.ndim == 3 and img.shape[2] == 3
+            assert img.size < 10 * good.__sizeof__()
+        except ValueError:
+            pass
+    assert ok < len(cases)         # the garbage cases really were rejected
