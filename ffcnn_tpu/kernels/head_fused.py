@@ -26,7 +26,7 @@ docs/PERF_NOTES.md says otherwise), batch % 128 == 0, TPU backend.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
