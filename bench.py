@@ -142,6 +142,40 @@ def throughput(mode="fast", net=None):
     return best
 
 
+def throughput_demo_geometry():
+    """Throughput at the reference demo's OWN geometry (test.bmp 640x448,
+    ALIGN-32 input override, ffcnn.c:133-134,573) — the workload behind
+    readme.txt:114's published 67.5 ms/img.  Batch sized for the 4.2x
+    larger frames."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
+
+    net = Net.load(CFG, WEIGHTS, 640, 448, mode="fast")
+    img = bmp_load("/root/reference/test.bmp")
+    b = 128
+    rng = np.random.RandomState(0)
+    batch = np.broadcast_to(img, (b,) + img.shape).copy()
+    batch = np.clip(batch.astype(np.int16)
+                    + rng.randint(0, 8, batch.shape, dtype=np.uint8),
+                    0, 255).astype(np.uint8)
+    bj = jnp.asarray(batch)
+    jax.block_until_ready(net.detect_device(bj))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            res = net.detect_device(bj)
+        jax.block_until_ready(res)
+        dt = min(dt, (time.perf_counter() - t0) / ITERS)
+    ips = b / dt
+    log("demo geometry 640x448 batch %d: %.2f ms/batch  %8.0f img/s"
+        % (b, dt * 1000, ips))
+    return ips
+
+
 def latency_batch1():
     """Single-image latency, fast mode: (p50 wall dispatch-to-sync, device
     time from a profiler trace).  Wall includes the ~30 ms axon-tunnel RTT,
@@ -235,6 +269,11 @@ def main():
     int8_net = int8_gate()
     fast_ips, fast_batch = throughput("fast")
     int8_ips, int8_batch = throughput("int8", net=int8_net)
+    try:
+        demo_ips = throughput_demo_geometry()
+    except Exception as e:  # noqa: BLE001 — auxiliary metric, never fatal
+        log(f"demo-geometry bench skipped: {e!r}")
+        demo_ips = 0.0
     p50, dev_ms = latency_batch1()
     log("batch-1 latency: p50 wall %.2f ms (incl. tunnel RTT), device %.2f ms"
         % (p50, dev_ms))
@@ -257,6 +296,9 @@ def main():
         "mode": mode,
         "fast_img_s": round(fast_ips, 1),
         "int8_img_s": round(int8_ips, 1),
+        # the reference's own headline workload (readme.txt:114: 67.5
+        # ms/img = 14.8 img/s on its published CPU; 127 ms/img here)
+        "demo_640x448_img_s": round(demo_ips, 1),
         "device": str(dev.device_kind),
         "parity": "golden detections exact (parity mode, 320x320 + 640x448)"
                   "; int8 gate: classes exact, boxes in tolerance",
