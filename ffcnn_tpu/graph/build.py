@@ -81,6 +81,11 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     skipped and their blobs never materialize (eligibility guarantees no
     other consumers).
 
+    ``head_runs``: optional list of kernels.head_fused.HeadRun — each
+    [dw5x5/pw...] chain feeding a yolo layer executes as one Pallas launch
+    per batch chunk (interior blobs never materialize).  Measured slower
+    than XLA on v5e (docs/PERF_NOTES.md) — off by default, kept tested.
+
     ``conv0_int8``: run the first conv straight off the raw uint8 pixels on
     the int8 MXU (ops.conv.conv0_int8_from_u8) instead of casting the input
     to float first — applies only when x is uint8, the first layer is a
