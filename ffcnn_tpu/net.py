@@ -22,6 +22,7 @@ Modes:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional, Union
 
@@ -36,12 +37,23 @@ from .graph.build import (fold_input_transform, forward_features,
                           params_to_pytree)
 from .ops.nms import NMSResult, nms
 from .ops.preprocess import letterbox, letterbox_params, letterbox_uint8
-from .ops.yolo import concat_heads, decode_head
+from .ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
+                       decode_head)
 
 # Demo defaults (ffcnn.c:556-557)
 DEFAULT_MEAN = (0.0, 0.0, 0.0)
 DEFAULT_NORM = (1 / 255.0, 1 / 255.0, 1 / 255.0)
 NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
+
+# Env flags read at TRACE time (here or in ops/kernels).  Their current
+# values are part of the pipeline cache key, so flipping one mid-process
+# compiles a fresh bucket and actually takes effect — instead of silently
+# A/B-ing a pipeline against itself (ADVICE r2).  FFCNN_FUSED_MINC is
+# consumed at Net construction (plan_runs) and so needs a new Net anyway.
+_TRACE_ENV_FLAGS = ("FFCNN_FUSED", "FFCNN_FUSED_HEADS", "FFCNN_FUSED_MEGA",
+                    "FFCNN_FUSED_DOTMODE", "FFCNN_CONV0_INT8",
+                    "FFCNN_PLANAR_HEADS", "FFCNN_TOPK_IMPL",
+                    "FFCNN_DECODE_IMPL", "FFCNN_NMS_IMPL")
 
 
 def _planarize_heads(ir: NetIR, params: Dict, quant):
@@ -246,11 +258,15 @@ class Net:
         self._forwards.clear()
 
     def _max_candidates(self) -> int:
-        """Total YOLO candidates the model can emit at its input size — the
-        analog of the reference's bbox arena capacity (ffcnn.c:243)."""
-        return sum(self.ir.blobs[li].w * self.ir.blobs[li].h * 3
-                   for li, l in enumerate(self.ir.layers)
-                   if l.type == LayerType.YOLO)
+        """Most YOLO candidates the model can emit at its input size: the
+        head grids' total, clamped by the reference's bbox arena capacity
+        (ffcnn.c:243; apply_arena_cap zeroes everything past it, so a
+        larger top-k could never fill)."""
+        return min(sum(self.ir.blobs[li].w * self.ir.blobs[li].h * 3
+                       for li, l in enumerate(self.ir.layers)
+                       if l.type == LayerType.YOLO),
+                   arena_capacity(self.ir.blobs[0].w, self.ir.blobs[0].h,
+                                  self.ir.blobs[0].c))
 
     def _build_pipeline(self, img_h: int, img_w: int, folded: bool,
                         topk: Optional[int], mean, norm):
@@ -288,7 +304,6 @@ class Net:
         # leaves) — dispatch overhead through the axon tunnel was ~20% of
         # wall time per batch.  A new Net compiles new programs anyway.
         def pipeline(bgr):
-            import os
             from .kernels.block_fused import runs_usable
             from .kernels.head_fused import head_runs_usable
             runs = fused_runs if (fused_runs
@@ -329,6 +344,8 @@ class Net:
                 decode_head(f, l, net_w, net_h,
                             planar=pflags.get(yli, False))
                 for f, l, yli in zip(feats, heads_meta, yolo_lis)])
+            decoded = apply_arena_cap(
+                decoded, arena_capacity(net_w, net_h, ir.blobs[0].c))
             return nms(decoded.boxes, decoded.scores, decoded.classes,
                        k=topk, threshold=NMS_THRESHOLD,
                        scale1=s1, scale2=s2)
@@ -340,7 +357,8 @@ class Net:
         mean_t = tuple(float(v) for v in np.asarray(mean).reshape(3))
         norm_t = tuple(float(v) for v in np.asarray(norm).reshape(3))
         folded = self._can_fold_input() and mean_t == DEFAULT_MEAN
-        key = (img_h, img_w, folded, topk or self.topk, mean_t, norm_t)
+        key = (img_h, img_w, folded, topk or self.topk, mean_t, norm_t,
+               tuple(os.environ.get(k, "") for k in _TRACE_ENV_FLAGS))
         fn = self._pipelines.get(key)
         if fn is None:
             fn = self._build_pipeline(img_h, img_w, folded, topk,
@@ -397,7 +415,21 @@ class Net:
                            norm=tuple(np.asarray(norm).tolist()))
         fn = self._pipeline_for(h, w, mean, norm, topk)
         t0 = time.perf_counter()
-        res = fn(jnp.asarray(batch))
+        while True:
+            try:
+                res = fn(jnp.asarray(batch))
+                break
+            except Exception as e:  # noqa: BLE001 — VMEM-overflow fallback
+                # A fused-kernel geometry whose VMEM estimate was wrong
+                # fails at COMPILE time; lower the global rows-per-step cap
+                # and re-trace instead of dying (kernels/block_fused.py,
+                # ADVICE r2).  Anything else propagates.
+                from .kernels import block_fused
+                if not (self._fused_runs and "vmem" in str(e).lower()
+                        and block_fused.reduce_rows_cap()):
+                    raise
+                self._pipelines.clear()
+                fn = self._pipeline_for(h, w, mean, norm, topk)
         self.timeused["detect"] = self.timeused.get("detect", 0.0) + (
             time.perf_counter() - t0)
         return res
@@ -430,8 +462,9 @@ class Net:
         ``output``, ``code``, ``peak``.  Compiles the bucket if needed."""
         net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
         img_h, img_w = image_size or (net_h, net_w)
-        fn = self._pipeline_for(img_h, img_w, mean or DEFAULT_MEAN,
-                                norm or DEFAULT_NORM)
+        fn = self._pipeline_for(img_h, img_w,
+                                mean if mean is not None else DEFAULT_MEAN,
+                                norm if norm is not None else DEFAULT_NORM)
         spec = jax.ShapeDtypeStruct((batch_size, img_h, img_w, 3), jnp.uint8)
         m = fn.lower(spec).compile().memory_analysis()
         return {"args": m.argument_size_in_bytes,

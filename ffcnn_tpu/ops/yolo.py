@@ -152,3 +152,31 @@ def concat_heads(heads) -> DecodedBoxes:
         boxes=jnp.concatenate([h.boxes for h in heads], axis=1),
         scores=jnp.concatenate([h.scores for h in heads], axis=1),
         classes=jnp.concatenate([h.classes for h in heads], axis=1))
+
+
+def arena_capacity(net_w: int, net_h: int, net_c: int) -> int:
+    """The reference's bbox arena aliases the input blob (ffcnn.c:242-244):
+    capacity = input bytes / sizeof(BBOX) with BBOX = {int type; float
+    score, x1, y1, x2, y2} = 24 bytes (ffcnn.h:29-32)."""
+    return (net_w * net_h * net_c * 4) // 24
+
+
+def apply_arena_cap(decoded: DecodedBoxes, cap: int) -> DecodedBoxes:
+    """Reference bbox-arena overflow semantics (ffcnn.c:461): once ``cap``
+    above-threshold candidates have been appended, later ones are SILENTLY
+    dropped — first-come priority in the (head, row, col, anchor) append
+    order, NOT top-score.  ``decoded`` is already in that order, so the
+    cutoff is a running count of above-threshold entries.
+
+    A no-op (trace-time) when the model cannot overflow — e.g. the
+    flagship emits at most 1,500 candidates against a 51,200 arena; tiny
+    cfgs with big heads (ffcnn-micro: 3,264 vs 2,048) do overflow, and the
+    C binary really does drop the tail (tools/c_differential.py)."""
+    if decoded.scores.shape[1] <= cap:
+        return decoded
+    alive = (decoded.scores > 0).astype(jnp.int32)
+    drop = jnp.cumsum(alive, axis=1) > cap
+    return DecodedBoxes(boxes=decoded.boxes,
+                        scores=jnp.where(drop, jnp.zeros_like(decoded.scores),
+                                         decoded.scores),
+                        classes=decoded.classes)

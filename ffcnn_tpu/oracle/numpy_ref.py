@@ -221,7 +221,11 @@ def net_candidates(ir: NetIR, params: Dict[int, FoldedConvParams],
         else:
             raise ValueError(f"unknown layer type {t}")
         blobs[li + 1] = out
-    return boxes
+    # bbox arena capacity: the reference's box list aliases the input blob
+    # (ffcnn.c:242-244), so appends stop silently at input_bytes/sizeof(BBOX)
+    # candidates (ffcnn.c:461) — first-come in this exact append order.
+    cap = (net_w * net_h * ir.blobs[0].c * 4) // 24
+    return boxes[:cap]
 
 
 def net_forward(ir: NetIR, params: Dict[int, FoldedConvParams],

@@ -21,7 +21,8 @@ from ..darknet.ir import LayerType, NetIR
 from ..graph.build import forward_features
 from ..ops.nms import nms
 from ..ops.preprocess import letterbox, letterbox_params
-from ..ops.yolo import concat_heads, decode_head
+from ..ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
+                        decode_head)
 from .mesh import (MODEL_AXIS, SPATIAL_AXIS, activation_sharding,
                    batch_sharding, replicated)
 
@@ -71,6 +72,8 @@ def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
         decoded = concat_heads([
             decode_head(f.astype(jnp.float32), l, net_w, net_h)
             for f, l in zip(feats, heads_meta)])
+        decoded = apply_arena_cap(
+            decoded, arena_capacity(net_w, net_h, ir.blobs[0].c))
         return nms(decoded.boxes, decoded.scores, decoded.classes,
                    k=topk, threshold=nms_threshold, scale1=s1, scale2=s2)
 

@@ -154,6 +154,77 @@ def test_export_int8_mode_roundtrip(tmp_path):
                                       err_msg=nm)
 
 
+def test_export_writes_meta_sidecar(micro_net, tmp_path):
+    """export_net records the custom-call targets (the libtpu ABI surface a
+    deployment pins) and a golden probe in <path>.meta.json (ADVICE r2)."""
+    import json
+
+    from ffcnn_tpu.export import load_exported, meta_path
+
+    path = str(tmp_path / "micro.ffx")
+    micro_net.export(path, batch_size=1)
+    with open(meta_path(path)) as f:
+        meta = json.load(f)
+    assert isinstance(meta["custom_call_targets"], list)
+    assert meta["jax_version"]
+    assert "expected" in meta["probe"]
+    art = load_exported(path)
+    assert art.meta == meta
+
+
+def test_artifact_probe_gate(micro_net, tmp_path):
+    """The semantic health gate (VERDICT r2 #7): a worker serving an
+    artifact whose baked probe does not reproduce must NOT go ready —
+    DetectorService.warmup raises and /healthz-style readiness stays off."""
+    import shutil
+
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.export import (ArtifactNet, load_exported, meta_path,
+                                  verify_artifact)
+    from ffcnn_tpu.serve import DetectorService
+
+    good = str(tmp_path / "good.ffx")
+    micro_net.export(good, batch_size=1)
+    verify_artifact(load_exported(good))          # healthy artifact passes
+    ArtifactNet([good]).warmup()
+
+    # A stale/mismatched artifact: same graph, DIFFERENT weights — shape
+    # checks pass, semantics don't.
+    ir = parse_cfg(MICRO)
+    wpath2 = str(tmp_path / "other.weights")
+    with open(wpath2, "wb") as f:
+        f.write(synth_weights_bytes(ir, seed=99, obj_bias=2.0))
+    other = Net.load(MICRO, wpath2, mode="fast")
+    stale = str(tmp_path / "stale.ffx")
+    other.export(stale, batch_size=1)
+    # Swap in the GOOD net's meta — the deployment thinks it shipped the
+    # good model but the artifact bytes are another net's.
+    shutil.copy(meta_path(good), meta_path(stale))
+    with pytest.raises(RuntimeError, match="golden-probe mismatch"):
+        verify_artifact(load_exported(stale))
+
+    svc = DetectorService(ArtifactNet([stale]))
+    with pytest.raises(RuntimeError, match="golden-probe mismatch"):
+        svc.warmup()
+    assert not svc.ready
+    assert "golden-probe mismatch" in svc.error
+
+
+def test_artifact_without_meta_warns_not_fails(micro_net, tmp_path):
+    """Backward compat: a bare artifact (no sidecar) still serves, with a
+    warning that the semantic gate is unavailable."""
+    import os as _os
+
+    from ffcnn_tpu.export import ArtifactNet, meta_path
+
+    path = str(tmp_path / "bare.ffx")
+    micro_net.export(path, batch_size=1)
+    _os.remove(meta_path(path))
+    anet = ArtifactNet([path])
+    with pytest.warns(RuntimeWarning, match="no .meta.json"):
+        anet.warmup()
+
+
 def test_export_rejects_wrong_shape(micro_net, tmp_path):
     from ffcnn_tpu.export import load_exported
 

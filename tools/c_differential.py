@@ -1,0 +1,519 @@
+#!/usr/bin/env python
+"""Differential harness: the LIVING C reference binary vs the TPU pipeline.
+
+The reference's entire verification story is its demo main
+(``ffcnn.c:552-593``): load a BMP, detect, print ``score/category/rect``
+lines.  This harness builds that binary from the read-only source tree
+(``/root/reference/build.sh``), generates a corpus of diverse images
+(crops / flips / brightness edits / composites of test.bmp plus structured
+synthetics, at several ALIGN-32 geometries, ``ffcnn.c:133-134``), runs the
+C binary and the JAX parity pipeline side by side, and diffs their output
+lines verbatim (``score: %.2f, category: %2d, rect: (%3d %3d %3d %3d)``,
+``ffcnn.c:583-585``).
+
+Because ``net_load`` accepts ANY cfg/weights pair (``ffcnn.c:114-247``),
+the same harness also feeds each C-dialect zoo cfg with synthesized
+darknet weights to BOTH implementations — converting the model zoo from
+oracle-validated to reference-validated.  Families outside the C dialect
+(mish activation → C falls back to linear, ``ffcnn.c:86-93`` /
+``utils.h:15-23``; route groups → ignored by the C route parser,
+``ffcnn.c:174-186``) are excluded and documented in models/README.md.
+
+Used by tests/test_c_differential.py; run standalone for a full report:
+
+    /opt/venv/bin/python tools/c_differential.py [--images N] [-v]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import shutil
+import subprocess
+import sys
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+DEFAULT_BUILD_DIR = os.environ.get("FFCNN_C_BUILD_DIR", "/tmp/ffcnn_c_build")
+
+sys.path.insert(0, REPO)
+
+
+def force_cpu_backend() -> None:
+    """Pin jax to CPU for the differential (parity mode is platform-exact;
+    the comparison is about semantics, not speed).  The env var alone is
+    not enough — the axon TPU plugin in this image ignores JAX_PLATFORMS
+    when set at spawn; the config knob always wins (tests/conftest.py)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+# One box line, as printed by the demo main (ffcnn.c:583-585).
+BOX_LINE = re.compile(r"^score: *[0-9.]+, category: *\d+, "
+                      r"rect: \( *-?\d+ +-?\d+ +-?\d+ +-?\d+\)$")
+
+
+# --------------------------------------------------------------- build the C
+def build_reference(variant: str = "v6",
+                    build_dir: str = DEFAULT_BUILD_DIR) -> str:
+    """Compile the reference demo binary (conv variant ``variant``) out of
+    tree (the reference mount is read-only) and return its path.  Cached:
+    an existing binary for the same variant is reused."""
+    bindir = os.path.join(build_dir, variant)
+    binary = os.path.join(bindir, "ffcnn")
+    if os.path.exists(binary):
+        return binary
+    os.makedirs(bindir, exist_ok=True)
+    for src in glob.glob(os.path.join(REFERENCE, "*.c")) + \
+            glob.glob(os.path.join(REFERENCE, "*.h")) + \
+            [os.path.join(REFERENCE, "build.sh")]:
+        shutil.copy(src, bindir)
+    proc = subprocess.run(["sh", "build.sh", variant], cwd=bindir,
+                          capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0 or not os.path.exists(binary):
+        raise RuntimeError(f"reference build failed:\n{proc.stdout}"
+                           f"\n{proc.stderr}")
+    return binary
+
+
+def run_c(binary: str, bmp_path: str, cfg: str, weights: str,
+          timeout: float = 300.0) -> List[str]:
+    """One C-demo inference; returns the stripped box lines in print order."""
+    proc = subprocess.run(
+        [binary, "1", bmp_path, cfg, weights],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(binary))  # demo writes out.bmp into cwd
+    if proc.returncode != 0:
+        raise RuntimeError(f"C binary failed on {bmp_path}:\n{proc.stderr}")
+    return [ln.strip() for ln in proc.stdout.splitlines()
+            if BOX_LINE.match(ln.strip())]
+
+
+def format_detections(dets) -> List[str]:
+    """Render Detection objects exactly as the C demo prints boxes."""
+    return ["score: %.2f, category: %2d, rect: (%3d %3d %3d %3d)"
+            % (d.score, d.class_id, int(d.x1), int(d.y1),
+               int(d.x2), int(d.y2)) for d in dets]
+
+
+# ------------------------------------------------------------- image corpus
+def _gradient(h: int, w: int, horiz: bool = True) -> np.ndarray:
+    ramp = np.linspace(0, 255, w if horiz else h, dtype=np.float32)
+    img = np.broadcast_to(ramp[None, :, None] if horiz
+                          else ramp[:, None, None], (h, w, 3))
+    return img.astype(np.uint8)
+
+
+def _checker(h: int, w: int, cell: int = 16) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    pat = (((yy // cell) + (xx // cell)) % 2 * 255).astype(np.uint8)
+    return np.stack([pat, 255 - pat, pat], axis=-1)
+
+
+def generate_corpus(out_dir: str, n_max: int = 0) -> Dict[Tuple[int, int],
+                                                          List[str]]:
+    """Write the deterministic BMP corpus; returns {(h, w): [paths]}.
+
+    Geometries chosen to exercise the ALIGN-32 input override
+    (ffcnn.c:133-134): the demo's own 640x448, the stock-square 320x320,
+    a non-multiple-of-32 odd size (letterboxed with right/bottom zero pad
+    and s1/s2 rescale, ffcnn.c:266-273), and a half-size rectangle."""
+    from ffcnn_tpu.imageio.bmp import bmp_load, bmp_save
+    os.makedirs(out_dir, exist_ok=True)
+    # test.bmp is 640x424; the demo's famous "640x448 input" is
+    # ALIGN(424, 32) = 448 (ffcnn.c:133-134).
+    base = bmp_load(os.path.join(REFERENCE, "test.bmp"))   # (424, 640, 3) BGR
+    rng = np.random.RandomState(1234)
+    images: List[Tuple[str, np.ndarray]] = []
+
+    def add(name: str, arr: np.ndarray):
+        images.append((name, np.ascontiguousarray(arr, dtype=np.uint8)))
+
+    # --- full demo geometry 640x424 (-> 640x448 net input) ---------------
+    add("full_orig", base)
+    add("full_hflip", base[:, ::-1])
+    add("full_vflip", base[::-1])
+    add("full_dark", (base.astype(np.float32) * 0.55).astype(np.uint8))
+    add("full_bright", np.clip(base.astype(np.float32) * 1.45, 0, 255))
+    add("full_rgbswap", base[..., ::-1])
+    comp = _gradient(424, 640).copy()
+    comp[100:420, 40:300] = base[100:420, 150:410]          # person crop
+    comp[60:340, 320:600] = base[90:370, 360:640]           # horse crop
+    add("full_composite", comp)
+    add("full_noise", rng.randint(0, 256, (424, 640, 3)))
+
+    # --- 320x320 crops ---------------------------------------------------
+    for name, (y, x) in [("crop_tl", (0, 0)), ("crop_person", (64, 120)),
+                         ("crop_horse", (100, 320)), ("crop_dog", (104, 0)),
+                         ("crop_br", (104, 320)), ("crop_c", (64, 160)),
+                         ("crop_top", (0, 160)), ("crop_bl", (104, 40)),
+                         ("crop_mid", (96, 240)), ("crop_r", (32, 300))]:
+        add(name, base[y:y + 320, x:x + 320])
+    add("crop_person_flip", base[64:384, 120:440][:, ::-1])
+    add("crop_horse_flip", base[100:420, 320:640][:, ::-1])
+    add("crop_dog_vflip", base[104:424, 0:320][::-1])
+    add("crop_dog_dark",
+        (base[104:424, 0:320].astype(np.float32) * 0.6).astype(np.uint8))
+    add("crop_horse_bright",
+        np.clip(base[100:420, 320:640].astype(np.float32) * 1.5, 0, 255))
+    add("crop_tl_t", np.swapaxes(base[0:320, 0:320], 0, 1))
+    add("sq_gradient", _gradient(320, 320, horiz=False))
+    add("sq_checker", _checker(320, 320))
+    add("sq_gray", np.full((320, 320, 3), 128))
+    comp2 = np.full((320, 320, 3), 64, np.uint8)
+    comp2[40:280, 30:290] = base[110:350, 350:610]          # horse on gray
+    add("sq_composite", comp2)
+    comp3 = _checker(320, 320, cell=40).copy()
+    comp3[20:300, 60:260] = base[80:360, 170:370]           # person on checker
+    add("sq_composite2", comp3)
+    comp4 = base[64:384, 120:440].copy()
+    comp4[180:320, 160:312] = base[284:424, 60:212]         # person + dog
+    add("sq_composite3", comp4)
+    add("sq_noise", rng.randint(0, 256, (320, 320, 3)))
+    add("sq_noise_dim",
+        (rng.randint(0, 256, (320, 320, 3)) * 0.3 + 90).astype(np.uint8))
+    for i, g in enumerate((0.45, 0.8, 1.25)):
+        add(f"crop_person_g{i}",
+            np.clip(base[64:384, 120:440].astype(np.float32) * g, 0, 255))
+
+    # --- odd geometry 353x241 (ALIGN -> 384x256 input) ------------------
+    for name, (y, x) in [("odd_a", (30, 60)), ("odd_b", (120, 250)),
+                         ("odd_c", (0, 287))]:
+        add(name, base[y:y + 241, x:x + 353])
+    add("odd_hflip", base[30:271, 60:413][:, ::-1])
+    add("odd_gradient", _gradient(241, 353))
+    add("odd_checker", _checker(241, 353, cell=11))
+    add("odd_noise", rng.randint(0, 256, (241, 353, 3)))
+    add("odd_dark",
+        (base[100:341, 250:603].astype(np.float32) * 0.5).astype(np.uint8))
+
+    # --- half-size rectangle 320x212 (subsampled full frames) -----------
+    add("half_orig", base[::2, ::2])
+    add("half_hflip", base[::2, ::2][:, ::-1])
+    add("half_dark", (base[::2, ::2].astype(np.float32) * 0.7))
+    add("half_composite", comp[::2, ::2])
+    add("half_checker", _checker(212, 320, cell=13))
+
+    if n_max:
+        images = images[:n_max]
+    by_geom: Dict[Tuple[int, int], List[str]] = {}
+    for name, arr in images:
+        path = os.path.join(out_dir, name + ".bmp")
+        if not os.path.exists(path):
+            bmp_save(path, arr)
+        by_geom.setdefault(arr.shape[:2], []).append(path)
+    return by_geom
+
+
+# ------------------------------------------------------------- TPU side
+def run_tpu_batch(cfg: str, weights, img_paths: Sequence[str],
+                  mode: str = "parity", topk: int = 128) -> List[List[str]]:
+    """Detect all same-geometry images in ONE batched pipeline call;
+    returns formatted box lines per image.  ``weights`` may be a path or
+    raw darknet bytes (synth zoo weights)."""
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.weights import load_weights
+    from ffcnn_tpu.imageio.bmp import bmp_load
+
+    imgs = [bmp_load(p) for p in img_paths]
+    h, w = imgs[0].shape[:2]
+    ir = parse_cfg(cfg, w, h)
+    params, _ = load_weights(ir, weights)
+    net = Net(ir, params, mode=mode, topk=topk)
+    batch = np.stack(imgs)
+    dets = net.detect(batch)
+    return [format_detections(d) for d in dets]
+
+
+# ------------------------------------------------------------- comparisons
+def _parse_line(ln: str) -> Tuple[int, float, int, int, int, int]:
+    m = re.match(r"score: *([0-9.]+), category: *(\d+), "
+                 r"rect: \( *(-?\d+) +(-?\d+) +(-?\d+) +(-?\d+)\)", ln)
+    return (int(m.group(2)), float(m.group(1)),
+            *(int(m.group(i)) for i in range(3, 7)))
+
+
+# Fuzzy-match tolerances.  Both sides are float32, but the C kernels
+# accumulate sequentially while XLA blocks/vectorizes — knife-edge cells
+# land on different sides of int casts / 2dp rounding / the NMS IoU
+# threshold.  Measured spread on the real-weight corpus: <=1 px on box int
+# casts, one marginal detection at +-5 px / 0.02 score (tools run log).
+FUZZY_SCORE_ATOL = 0.03
+FUZZY_BOX_ATOL = 6
+
+
+def _fuzzy_match(c_lines: List[str], t_lines: List[str]) -> int:
+    """Greedy one-to-one matching: same class, score within
+    FUZZY_SCORE_ATOL, every coord within FUZZY_BOX_ATOL.  Returns the
+    number of matched pairs."""
+    cb = [_parse_line(x) for x in c_lines]
+    tb = [_parse_line(x) for x in t_lines]
+    used = [False] * len(tb)
+    matched = 0
+    for c in cb:
+        for j, t in enumerate(tb):
+            if used[j] or t[0] != c[0]:
+                continue
+            if abs(t[1] - c[1]) <= FUZZY_SCORE_ATOL and \
+                    max(abs(a - b) for a, b in zip(t[2:], c[2:])) \
+                    <= FUZZY_BOX_ATOL:
+                used[j] = True
+                matched += 1
+                break
+    return matched
+
+
+class DiffResult:
+    """Per-image comparison at three strictnesses:
+
+    * exact     — output lines identical in order (C's print order is its
+                  NMS survivor order);
+    * set_equal — identical as multisets (absorbs qsort tie-order
+                  instability on score-tied candidates, ffcnn.c:291-296 —
+                  libc qsort is unstable, our top-k sort is stable);
+    * fuzzy     — greedy class-exact match within FUZZY_* tolerances
+                  (absorbs f32 accumulation-order knife edges).
+    """
+
+    def __init__(self):
+        self.total = 0
+        self.exact = 0
+        self.set_equal = 0
+        self.images: List[Tuple[str, int, int, int]] = []  # name, nc, nt, nm
+        self.mismatches: List[Tuple[str, List[str], List[str]]] = []
+
+    def record(self, name: str, c_lines: List[str], t_lines: List[str]):
+        self.total += 1
+        nm = _fuzzy_match(c_lines, t_lines)
+        self.images.append((name, len(c_lines), len(t_lines), nm))
+        if c_lines == t_lines:
+            self.exact += 1
+            self.set_equal += 1
+        elif sorted(c_lines) == sorted(t_lines):
+            self.set_equal += 1
+        else:
+            self.mismatches.append((name, c_lines, t_lines))
+
+    @property
+    def fuzzy_fraction(self) -> float:
+        """Matched pairs over max(total C boxes, total TPU boxes)."""
+        nc = sum(i[1] for i in self.images)
+        nt = sum(i[2] for i in self.images)
+        nm = sum(i[3] for i in self.images)
+        return nm / max(nc, nt, 1)
+
+    @property
+    def max_count_skew(self) -> int:
+        """Largest per-image |C boxes - TPU boxes|."""
+        return max((abs(i[1] - i[2]) for i in self.images), default=0)
+
+    def report(self, label: str, verbose: bool = False) -> str:
+        out = [f"[{label}] {self.exact}/{self.total} exact, "
+               f"{self.set_equal}/{self.total} set-equal, "
+               f"fuzzy match {100 * self.fuzzy_fraction:.1f}%"]
+        for name, c_lines, t_lines in self.mismatches:
+            out.append(f"  DIFF {name}: C={len(c_lines)} boxes, "
+                       f"TPU={len(t_lines)} boxes")
+            if verbose:
+                for ln in sorted(set(c_lines) - set(t_lines)):
+                    out.append(f"    C-only : {ln}")
+                for ln in sorted(set(t_lines) - set(c_lines)):
+                    out.append(f"    T-only : {ln}")
+        return "\n".join(out)
+
+
+def diff_flagship(binary: str, corpus: Dict[Tuple[int, int], List[str]],
+                  cfg: str = None, weights: str = None) -> DiffResult:
+    cfg = cfg or os.path.join(REFERENCE, "yolo-fastest-1.1.cfg")
+    weights = weights or os.path.join(REFERENCE, "yolo-fastest-1.1.weights")
+    res = DiffResult()
+    for geom, paths in sorted(corpus.items()):
+        tpu_lines = run_tpu_batch(cfg, weights, paths)
+        for path, tl in zip(paths, tpu_lines):
+            cl = run_c(binary, path, cfg, weights)
+            res.record(os.path.basename(path), cl, tl)
+    return res
+
+
+# C-dialect zoo families: linear/relu/leaky only (ffcnn.c:86-93), no route
+# groups (ffcnn.c:174-186).  size: image/input edge for the differential.
+C_DIALECT_ZOO = {
+    "yolov3-tiny": 160,
+    "yolov3": 128,
+    "yolo-fastest-xl": 160,
+}
+
+# Families beyond the C dialect, covered through a REWRITTEN variant cfg
+# that both sides parse identically:
+#   * mish convs — get_activation_type_int returns -1 and activate()
+#     silently runs LINEAR (ffcnn.c:86-93, utils.h:15-23); the variant says
+#     leaky instead, keeping the topology (CSP routes, SPP-13, scale_x_y
+#     heads, avgpool) intact through the C binary.
+#   * [route] groups/group_id — this framework's yolov4-tiny extension; the
+#     C route parser has no such keys and would silently concat FULL source
+#     channels, so one cfg/weights pair would mean two different
+#     architectures (this exact failure mode was observed: the C loader's
+#     weight stream shifted and its head convs read EOF zeros).  The
+#     variant drops the keys, i.e. routes carry full channels on BOTH
+#     sides — a valid (if wider) member of the family.
+C_VARIANT_ZOO = {
+    "yolov4": 96,
+    "yolov4-tiny": 160,
+    "ffcnn-micro": 64,
+}
+
+
+def make_c_dialect_variant(name: str, work_dir: str) -> str:
+    """Write the C-dialect rewrite of models/<name>.cfg into work_dir
+    (see C_VARIANT_ZOO).  Purely textual; the variant is the differential
+    subject for both implementations."""
+    src = os.path.join(REPO, "models", f"{name}.cfg")
+    dst = os.path.join(work_dir, f"{name}-cdialect.cfg")
+    with open(src) as f:
+        text = f.read().replace("activation=mish", "activation=leaky")
+    out, in_route = [], False
+    for line in text.split("\n"):
+        stripped = line.strip()
+        if stripped.startswith("["):
+            in_route = stripped.startswith("[route]")
+        if in_route and (stripped.startswith("groups")
+                         or stripped.startswith("group_id")):
+            continue
+        out.append(line)
+    with open(dst, "w", newline="") as f:
+        f.write("\n".join(out))
+    return dst
+
+
+def diff_zoo(binary: str, work_dir: str, families=None,
+             n_images: int = 3) -> Dict[str, DiffResult]:
+    """Feed each C-dialect zoo cfg + synthesized darknet weights to BOTH
+    implementations over a small image set.  Zoo cfgs come straight from
+    models/ (incl. their upstream-style noise — comments, training keys,
+    CRLF; tools/gen_zoo_cfg.py) so the tolerant-parser surface
+    (ffcnn.c:64-84) is exercised on the C side too."""
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.ir import LayerType
+    from ffcnn_tpu.darknet.weights import synth_weights_bytes
+    from ffcnn_tpu.imageio.bmp import bmp_load, bmp_save
+
+    os.makedirs(work_dir, exist_ok=True)
+    base = bmp_load(os.path.join(REFERENCE, "test.bmp"))
+    rng = np.random.RandomState(7)
+    results: Dict[str, DiffResult] = {}
+    if families is None:
+        families = dict(C_DIALECT_ZOO, **C_VARIANT_ZOO)
+    for name, size in sorted(families.items()):
+        if name in C_VARIANT_ZOO:
+            cfg = make_c_dialect_variant(name, work_dir)
+        else:
+            cfg = os.path.join(REPO, "models", f"{name}.cfg")
+        ir = parse_cfg(cfg, size, size)
+        blob = synth_weights_bytes(ir, seed=42, obj_bias=2.0)
+        wpath = os.path.join(work_dir, f"{name}.weights")
+        with open(wpath, "wb") as f:
+            f.write(blob)
+        imgs = [base[64:64 + size, 120:120 + size],
+                _gradient(size, size),
+                rng.randint(0, 256, (size, size, 3)).astype(np.uint8),
+                _checker(size, size),
+                base[0:size, 0:size][:, ::-1],
+                ][:n_images]
+        paths = []
+        for i, arr in enumerate(imgs):
+            p = os.path.join(work_dir, f"{name}_img{i}.bmp")
+            bmp_save(p, np.ascontiguousarray(arr, np.uint8))
+            paths.append(p)
+        # Synthetic nets emit dense candidate sets; size K to the model's
+        # whole candidate space so top-k never truncates pre-suppression.
+        m_total = sum(3 * ir.blobs[li].w * ir.blobs[li].h
+                      for li, l in enumerate(ir.layers)
+                      if l.type == LayerType.YOLO)
+        res = DiffResult()
+        tpu_lines = run_tpu_batch(cfg, wpath, paths, topk=m_total)
+        for path, tl in zip(paths, tpu_lines):
+            cl = run_c(binary, path, cfg, wpath)
+            res.record(os.path.basename(path), cl, tl)
+        results[name] = res
+    return results
+
+
+# ------------------------------------------------------------- acceptance
+def flagship_ok(res: DiffResult) -> bool:
+    """Real-weight corpus: every image must agree on count+class with all
+    boxes fuzzy-matched, and >=70% of images must be line-for-line exact
+    (observed: 77-87% exact; the rest are f32 knife edges)."""
+    return (res.total > 0 and res.max_count_skew == 0
+            and res.fuzzy_fraction == 1.0
+            and res.exact >= 0.7 * res.total)
+
+
+# Synthetic-weight zoo: per-family minimum (exactness degrades with depth —
+# f32 accumulation-order wiggle amplifies across 100+ layers of random
+# weights, and near-tied candidate fields make greedy-NMS survivor identity
+# knife-edge; see DiffResult docstring).  (min_set_equal_frac, min_fuzzy).
+ZOO_POLICY = {
+    "yolov3-tiny": (1.0, 1.0),
+    # micro's heads overflow the bbox arena (3,264 candidates vs 2,048
+    # capacity), and the replicated first-come cutoff (apply_arena_cap) is
+    # knife-edge by construction: ONE threshold flip upstream shifts which
+    # tail candidates fit, so a cascade of tail boxes can differ on some
+    # frames.  Typically 2/3 images are line-exact anyway.
+    "ffcnn-micro": (0.6, 0.90),
+    "yolov3": (1.0, 1.0),
+    "yolov4-tiny": (0.0, 0.90),
+    # ~110 synthetic layers of accumulated f32 wiggle + a near-tied
+    # candidate field: greedy-NMS survivor identity is knife-edge, so a
+    # minority of survivors differ structurally (measured 81% matched,
+    # counts within 7/170).  Graph semantics for this family are pinned by
+    # the flagship (same blocks, real weights, 100% fuzzy / equal counts)
+    # and by the float64 oracle (tests/test_model_zoo.py).
+    "yolo-fastest-xl": (0.0, 0.75),
+    "yolov4": (0.0, 0.85),
+}
+
+
+def zoo_ok(name: str, res: DiffResult) -> bool:
+    min_set, min_fuzzy = ZOO_POLICY.get(name, (0.0, 0.85))
+    return (res.total > 0
+            and res.set_equal >= min_set * res.total
+            and res.fuzzy_fraction >= min_fuzzy)
+
+
+# ----------------------------------------------------------------- CLI
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--images", type=int, default=0,
+                    help="cap the flagship corpus size (0 = all)")
+    ap.add_argument("--work-dir", default="/tmp/ffcnn_differential")
+    ap.add_argument("--variant", default="v6")
+    ap.add_argument("--skip-zoo", action="store_true")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    force_cpu_backend()
+    binary = build_reference(args.variant)
+    corpus = generate_corpus(os.path.join(args.work_dir, "corpus"),
+                             args.images)
+    n = sum(len(v) for v in corpus.values())
+    print(f"corpus: {n} images across {len(corpus)} geometries; "
+          f"C binary: {binary}")
+    res = diff_flagship(binary, corpus)
+    print(res.report("flagship yolo-fastest-1.1", args.verbose))
+    rc = 0 if flagship_ok(res) else 1
+    if not args.skip_zoo:
+        for name, zres in diff_zoo(binary,
+                                   os.path.join(args.work_dir, "zoo")).items():
+            ok = zoo_ok(name, zres)
+            print(zres.report(f"zoo {name} (synth weights)", args.verbose)
+                  + ("" if ok else "  <-- POLICY FAIL"))
+            rc = rc if ok else 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,14 +30,52 @@ V4_ANCHORS = "12, 16,  19, 36,  40, 28,  36, 75,  76, 55,  72, 146,  " \
 FASTEST_ANCHORS = "12, 18,  37, 49,  52,132,  115, 73,  119,199,  242,238"
 
 
+# Upstream darknet cfgs are NOT clean key=value files: they carry training
+# keys the inference parser ignores, '#' comments, blank runs, spaces around
+# '=', and CRLF line endings.  The reference's tolerant parser
+# (ffcnn.c:64-84: strstr key lookup, atoi/atof garbage tolerance, value scan
+# to '\n' leaving a trailing '\r') exists to survive exactly that, so the
+# generated zoo cfgs emit the same noise — making them realistic parser
+# inputs, not sanitized ones (VERDICT r2 #8).  Comment text deliberately
+# avoids key substrings (e.g. 'size', 'mask') so a comment can never win the
+# first-strstr lookup in a section that omits the real key; both parsers
+# would honor such a hit identically, but the cfg's meaning must stay the
+# authored architecture.
+NET_TRAINING_NOISE = [
+    "# Testing", "batch=1", "subdivisions=1",
+    "# Training", "# batch=64", "# subdivisions=16",
+    "momentum=0.9", "decay=0.0005", "angle=0",
+    "saturation = 1.5", "exposure = 1.5", "hue=.1", "",
+    "learning_rate=0.00261", "burn_in=1000", "max_batches = 500200",
+    "policy=steps", "steps=400000,450000", "scales=.1,.1", "mosaic=1",
+]
+SECTION_COMMENTS = ["# Downsample", "# Residual", "# Bottleneck", "# SPP",
+                    "# Detection", "# Upsampling", "# Merge", "# Backbone"]
+YOLO_TAIL_NOISE = ["jitter=.3", "truth_thresh = 1", "random=1",
+                   "resize=1.5", "nms_kind=greedynms", "beta_nms=0.6"]
+
+
 class Cfg:
-    def __init__(self, header_comment, w, h):
-        self.lines = [header_comment, "", "[net]", f"width={w}",
-                      f"height={h}", "channels=3", ""]
+    def __init__(self, header_comment, w, h, noise=True):
+        self.noise = noise
+        self.lines = [header_comment, "", "[net]"]
+        if noise:
+            self.lines += NET_TRAINING_NOISE[:6]
+        self.lines += [f"width={w}", f"height={h}", "channels=3"]
+        if noise:
+            self.lines += NET_TRAINING_NOISE[6:]
+        self.lines.append("")
         self.n = 0                          # layer counter (post-[net])
+
+    def _maybe_comment(self):
+        """Sprinkle upstream-style section comments deterministically."""
+        if self.noise and self.n % 6 == 5:
+            self.lines += [SECTION_COMMENTS[(self.n // 6)
+                                            % len(SECTION_COMMENTS)], ""]
 
     def conv(self, filters, size=1, stride=1, act="mish", bn=True, pad=1,
              groups=1):
+        self._maybe_comment()
         self.lines.append("[convolutional]")
         if bn:
             self.lines.append("batch_normalize=1")
@@ -97,13 +135,24 @@ class Cfg:
         self.lines.append(f"ignore_thresh = {thresh}")
         if scale_x_y is not None:
             self.lines.append(f"scale_x_y = {scale_x_y}")
+        if self.noise:
+            self.lines += YOLO_TAIL_NOISE
         self.lines.append("")
         self.n += 1
         return self.n - 1
 
     def write(self, path):
-        with open(path, "w") as f:
-            f.write("\n".join(self.lines).rstrip() + "\n")
+        text = "\n".join(self.lines).rstrip() + "\n"
+        if self.noise:
+            # CRLF sloppiness on a deterministic subset of lines, the way
+            # Windows-edited upstream cfgs arrive; both parsers leave the
+            # '\r' inside the value and atoi/atof/prefix-match through it.
+            rows = text.split("\n")
+            rows = [r + "\r" if r and i % 7 == 3 else r
+                    for i, r in enumerate(rows)]
+            text = "\n".join(rows)
+        with open(path, "w", newline="") as f:
+            f.write(text)
         print(f"wrote {path}: {self.n} layers")
 
 
