@@ -51,9 +51,9 @@ NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
 # A/B-ing a pipeline against itself (ADVICE r2).  FFCNN_FUSED_MINC is
 # consumed at Net construction (plan_runs) and so needs a new Net anyway.
 _TRACE_ENV_FLAGS = ("FFCNN_FUSED", "FFCNN_FUSED_HEADS", "FFCNN_FUSED_MEGA",
-                    "FFCNN_FUSED_DOTMODE", "FFCNN_CONV0_INT8",
-                    "FFCNN_PLANAR_HEADS", "FFCNN_TOPK_IMPL",
-                    "FFCNN_DECODE_IMPL", "FFCNN_NMS_IMPL")
+                    "FFCNN_FUSED_DOTMODE", "FFCNN_FUSED_INTERPRET",
+                    "FFCNN_CONV0_INT8", "FFCNN_PLANAR_HEADS",
+                    "FFCNN_TOPK_IMPL", "FFCNN_DECODE_IMPL", "FFCNN_NMS_IMPL")
 
 
 def _planarize_heads(ir: NetIR, params: Dict, quant):
@@ -306,8 +306,13 @@ class Net:
         def pipeline(bgr):
             from .kernels.block_fused import runs_usable
             from .kernels.head_fused import head_runs_usable
+            # FFCNN_FUSED_INTERPRET=1 traces the fused Pallas kernels in
+            # interpret mode regardless of backend/batch — CPU-mesh tests
+            # pin the sharded pipeline to the SAME fused graph one chip runs.
+            interp = os.environ.get("FFCNN_FUSED_INTERPRET", "0") == "1"
             runs = fused_runs if (fused_runs
-                                  and runs_usable(bgr.shape[0])) else None
+                                  and (interp or runs_usable(bgr.shape[0]))) \
+                else None
             hruns = head_runs if (head_runs
                                   and head_runs_usable(bgr.shape[0])) \
                 else None
@@ -337,7 +342,7 @@ class Net:
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
                                      fused_runs=runs, head_runs=hruns,
-                                     conv0_int8=c0q)
+                                     conv0_int8=c0q, fused_interpret=interp)
             yolo_lis = [yli for yli, l in enumerate(ir.layers)
                         if l.type == LayerType.YOLO]
             decoded = concat_heads([

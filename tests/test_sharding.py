@@ -211,6 +211,93 @@ def test_dp_int8_equivalence(ref_cfg, ref_weights):
     assert int(np.asarray(got.count).sum()) >= 8   # actually detects things
 
 
+def test_dp_shard_map_runs_single_chip_pipeline(ref_cfg, ref_weights,
+                                                monkeypatch):
+    """One pipeline everywhere (VERDICT r2 #4): build_dp_pipeline wraps the
+    net's OWN single-chip jitted pipeline — fused Pallas runs (interpret on
+    CPU) AND the int8 storage plan — in shard_map over the data axis, and
+    the result must equal running that same pipeline on one device."""
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
+    from ffcnn_tpu.parallel import build_dp_pipeline, make_mesh
+    import conftest
+
+    # Force the fused runs into the trace on CPU (interpret mode); the
+    # env flag is part of the pipeline cache key so it takes effect here.
+    monkeypatch.setenv("FFCNN_FUSED_INTERPRET", "1")
+
+    img = bmp_load(conftest.fixture_path("test320.bmp"))
+    net = Net.load(ref_cfg, ref_weights, mode="int8")
+    net.calibrate(img[None])
+    assert net._fused_runs, "flagship must plan fused runs"
+
+    rng = np.random.RandomState(7)
+    batch = np.broadcast_to(img, (8,) + img.shape).copy()
+    batch[1:] = np.clip(batch[1:].astype(np.int16)
+                        + rng.randint(0, 12, batch[1:].shape),
+                        0, 255).astype(np.uint8)
+
+    # Reference: the SINGLE-DEVICE pipeline per image — batch 1, i.e. the
+    # same (batch-1) traced program each of the 8 shards runs.
+    want = [net.detect_device(batch[i:i + 1]) for i in range(8)]
+    fn = build_dp_pipeline(net, make_mesh(), 320, 320)
+    got = fn(jnp.asarray(batch))                  # 8-way DP, same pipeline
+
+    w_count = np.concatenate([np.asarray(w.count) for w in want])
+    w_scores = np.concatenate([np.asarray(w.scores) for w in want])
+    w_classes = np.concatenate([np.asarray(w.classes) for w in want])
+    w_boxes = np.concatenate([np.asarray(w.boxes) for w in want])
+    np.testing.assert_array_equal(np.asarray(got.count), w_count)
+    np.testing.assert_allclose(np.asarray(got.scores), w_scores, atol=1e-6)
+    # classes/boxes are meaningful only on valid slots (score > 0); empty
+    # slots hold whatever the top-k padding produced.
+    valid = w_scores > 0
+    np.testing.assert_array_equal(np.asarray(got.classes)[valid],
+                                  w_classes[valid])
+    np.testing.assert_allclose(np.asarray(got.boxes)[valid],
+                               w_boxes[valid], atol=1e-4)
+    assert int(w_count.sum()) >= 8
+
+
+def test_dp_pipeline_rejects_tp_sp_mesh(ref_cfg, ref_weights):
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.parallel import build_dp_pipeline, make_mesh
+
+    net = Net.load(ref_cfg, ref_weights, mode="fast")
+    with pytest.raises(ValueError, match="pure-DP"):
+        build_dp_pipeline(net, make_mesh(model_parallel=2), 320, 320)
+
+
+def test_int8_tp_equivalence():
+    """int8 + filter sharding (the round-2 restriction, now lifted): the
+    quantized weights/scales ride the trace as constants, GSPMD partitions
+    them with the consuming conv, and numerics match the 1-device int8
+    pipeline exactly."""
+    from ffcnn_tpu.quant import build_plan
+
+    ir, params = _tiny_net()
+    plan = build_plan(ir, params, np.full(len(ir.blobs), 0.1, np.float32))
+    rng = np.random.RandomState(11)
+    batch = rng.randint(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    mean = jnp.zeros(3)
+    norm = jnp.full(3, 1 / 255.0)
+
+    mesh = make_mesh(model_parallel=2)
+    fn, place = build_sharded_pipeline(ir, mesh, 64, 64, dtype=jnp.float32,
+                                       shard_filters=True, quant=plan)
+    res = fn(place(params), jnp.asarray(batch), mean, norm)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    fn1, place1 = build_sharded_pipeline(ir, mesh1, 64, 64,
+                                         dtype=jnp.float32, quant=plan)
+    res1 = fn1(place1(params), jnp.asarray(batch), mean, norm)
+
+    np.testing.assert_array_equal(np.asarray(res.count),
+                                  np.asarray(res1.count))
+    np.testing.assert_allclose(np.asarray(res.scores),
+                               np.asarray(res1.scores), atol=1e-5)
+
+
 def test_make_mesh_validation_and_axes():
     with pytest.raises(ValueError, match="not divisible"):
         make_mesh(jax.devices()[:6], model_parallel=4)
