@@ -51,13 +51,16 @@ BATCH_QUANTUM = 128
 
 @dataclasses.dataclass(frozen=True)
 class FusedBlock:
-    """One fusable [pw 1x1, dw 3x3 s1, pw 1x1 (, dropout, shortcut)] run.
-    ``start``: index of the expand conv; ``end``: index of the last fused
-    layer (project conv or shortcut); ``residual``: add the block input."""
+    """One fusable [pw 1x1, dw 3x3 s1|s2, pw 1x1 (, dropout, shortcut)]
+    run.  ``start``: index of the expand conv; ``end``: index of the last
+    fused layer (project conv or shortcut); ``residual``: add the block
+    input; ``down``: the dw is stride 2 (a stage-transition block — halves
+    H and W, never residual)."""
     start: int
     end: int
     residual: bool
     res_act: int            # shortcut activation (linear in yolo-fastest)
+    down: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,12 +88,26 @@ def find_fused_blocks(ir: NetIR) -> Dict[int, FusedBlock]:
         a, b, c = layers[li], layers[li + 1], layers[li + 2]
         ok = (a.type == LayerType.CONV and a.fs == 1 and a.stride == 1
               and a.groups == 1
-              and b.type == LayerType.CONV and b.fs == 3 and b.stride == 1
+              and b.type == LayerType.CONV and b.fs == 3
+              and b.stride in (1, 2)
               and b.groups == a.fn and b.fn == a.fn and b.pad == 1
               and c.type == LayerType.CONV and c.fs == 1 and c.stride == 1
               and c.groups == 1)
         if not ok:
             li += 1
+            continue
+        if b.stride == 2:
+            # Stage-transition block: [pw expand, dw3x3 s2, pw project] —
+            # halves H and W (never residual: dims change).  The kernel's
+            # strided W taps need even input dims (guaranteed at backbone
+            # depths by ALIGN-32, checked anyway).
+            if (ir.blobs[li].w % 2 == 0 and ir.blobs[li].h % 2 == 0
+                    and not referenced & {li + 1, li + 2}):
+                out[li] = FusedBlock(start=li, end=li + 2, residual=False,
+                                     res_act=0, down=True)
+                li += 3
+            else:
+                li += 1
             continue
         # residual variant: [triple, dropout, shortcut(from=block input)];
         # internal blobs li+1..li+4 must not be route/shortcut sources
@@ -113,20 +130,29 @@ def find_fused_blocks(ir: NetIR) -> Dict[int, FusedBlock]:
     return out
 
 
-def plan_runs(ir: NetIR, min_channels: Optional[int] = None) -> List[FusedRun]:
+def plan_runs(ir: NetIR, min_channels: Optional[int] = None,
+              allow_down: Optional[bool] = None) -> List[FusedRun]:
     """Group eligible blocks into maximal consecutive runs sharing one
     layout round-trip.  A block joins only when its input blob has
     >= min_channels channels (the measured XLA/kernel crossover).  Two
     adjacent blocks chain when the boundary blob between them is referenced
     ONLY from inside the second block (its own residual shortcut — which
     the kernel satisfies internally); any outside reference forces the
-    boundary blob to materialize, ending the run there."""
+    boundary blob to materialize, ending the run there.
+
+    ``allow_down`` (env FFCNN_FUSED_DOWN, default off): also admit
+    stride-2 stage-transition blocks, so runs span whole backbone REGIONS
+    — one layout round-trip across several stages (the round-2 C<=16
+    measurements paid the round-trip per stage; VERDICT r3 #1a)."""
     import os
     if min_channels is None:
         min_channels = int(os.environ.get("FFCNN_FUSED_MINC", MIN_CHANNELS))
+    if allow_down is None:
+        allow_down = os.environ.get("FFCNN_FUSED_DOWN", "0") == "1"
     blocks = find_fused_blocks(ir)
     eligible = [b for s, b in sorted(blocks.items())
-                if ir.blobs[b.start].c >= min_channels]
+                if ir.blobs[b.start].c >= min_channels
+                and (allow_down or not b.down)]
     ref_layers: Dict[int, List[int]] = {}
     for li, l in enumerate(ir.layers):
         if l.type in (LayerType.ROUTE, LayerType.SHORTCUT):
@@ -254,6 +280,48 @@ def reduce_rows_cap() -> bool:
     return False
 
 
+def _make_down_kernel(rows: int, width: int, n: int, acts):
+    """Stride-2 variant: R OUTPUT rows per grid step consume input rows
+    [2*r0-1, 2*r0+2R-1] — a top halo row plus a 2R-row block (no bottom
+    halo: with even H the y=+1 tap of the last output row is in-block).
+    W taps view each zero-padded pw-expand row as (E, W+2, N) and take the
+    stride-2 mid-dim slice starting at dx — all values are f32 by the time
+    the strided op runs (Mosaic strided ops are 32-bit-only)."""
+    R, W, N = rows, width, n
+    WO = W // 2
+
+    def kern(xt, xc, w1, s1, b1, kdw, s2, b2, w2, s3, b3, o_ref):
+        h = pl.program_id(0)
+        E = w1.shape[0]
+        SO = WO * N
+        src = [xt[0], *[xc[r] for r in range(2 * R)]]
+        rows_ = [activate(lax.dot_general(
+                     w1[...], xr.astype(jnp.float32),
+                     (((1,), (0,)), ((), ())),
+                     preferred_element_type=jnp.float32) * s1[...]
+                     + b1[...], acts[0])
+                 for xr in src]
+        h1 = []
+        for idx, a in enumerate(rows_):
+            if idx == 0:                        # y=-1 tap at the image top
+                a = jnp.where(h == 0, 0.0, a)
+            h1.append(jnp.pad(a, ((0, 0), (N, N))).reshape(E, W + 2, N))
+        outs = []
+        for r in range(R):
+            acc = jnp.zeros((E, SO), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    tap = h1[2 * r + dy][:, dx:dx + W:2].reshape(E, SO)
+                    acc = acc + tap * kdw[dy, dx][:, None]
+            h2 = activate(acc * s2[...] + b2[...], acts[1])
+            y = lax.dot_general(w2[...], h2, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            outs.append(activate(y * s3[...] + b3[...], acts[2]))
+        o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
+
+    return kern
+
+
 def _pick_rows(h: int, e: int, s: int) -> int:
     """Rows per grid step: prefer the FEWEST grid steps whose f32 working
     set (~(R+2) expand rows of (E, S+2N) plus outputs) fits VMEM — whole-H
@@ -271,8 +339,51 @@ def _pick_rows(h: int, e: int, s: int) -> int:
     return 1
 
 
+def _pick_rows_down(h_out: int, e: int, s: int) -> int:
+    """Output rows per grid step for the stride-2 kernel: the f32 working
+    set holds 2R+1 expand rows."""
+    budget = 80 << 20
+    cap = _ROWS_CAP[0]
+    for r in (h_out, 10, 8, 5, 4, 2, 1):
+        if cap and r > cap:
+            continue
+        if r <= h_out and h_out % r == 0 and \
+                (2 * r + 1) * e * (s + 256) * 4 * 13 // 10 <= budget:
+            return r
+    return 1
+
+
+def _cs_down_block(x, params9, acts, width: int, n: int,
+                   interpret: bool = False, out_dtype=None):
+    """One stride-2 stage-transition block in (H, C, W*N) layout ->
+    (H/2, P, (W/2)*N)."""
+    hh, cc, s = x.shape
+    w1 = params9[0]
+    e, p_ = w1.shape[0], params9[6].shape[0]
+    ho, wo = hh // 2, width // 2
+    r = _pick_rows_down(ho, e, s)
+    kern = _make_down_kernel(r, width, n, acts)
+    top = pl.BlockSpec((1, cc, s),
+                       lambda i: (jnp.maximum(i * 2 * r - 1, 0), 0, 0),
+                       memory_space=pltpu.VMEM)
+    cur = pl.BlockSpec((2 * r, cc, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(ho // r,),
+        in_specs=[top, cur] + [full()] * 9,
+        out_specs=pl.BlockSpec((r, p_, wo * n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ho, p_, wo * n),
+                                       out_dtype or x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, *params9)
+
+
 def _cs_block(x, params9, acts, residual: bool, res_act: int,
-              width: int, n: int, interpret: bool = False):
+              width: int, n: int, interpret: bool = False, out_dtype=None):
     """One block in (H, C, W*N) layout -> (H, P, W*N)."""
     hh, cc, s = x.shape
     w1 = params9[0]
@@ -293,7 +404,7 @@ def _cs_block(x, params9, acts, residual: bool, res_act: int,
         in_specs=[top, cur, bot] + [full()] * 9,
         out_specs=pl.BlockSpec((r, p_, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hh, p_, s), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((hh, p_, s), out_dtype or x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -318,15 +429,31 @@ def apply_run(x, ir: NetIR, params, run: FusedRun, *,
     # Default OFF until A/B-measured on the real chip (CPU-interpret
     # equivalence is tested; Mosaic lowering at production geometry is not).
     if os.environ.get("FFCNN_FUSED_MEGA", "0") != "0" and \
+            all(not b.down for b in run.blocks) and \
             n % MEGA_NB == 0 and _mega_fits(ir, params, run, hh, ww):
         return _apply_run_mega(x, ir, params, run, interpret=interpret)
+    # Boundary-blob storage between blocks: 'f32' stores dense f32 rows
+    # instead of the input dtype.  For C<=8 blobs, bf16's (16,128) tile
+    # pads sublanes 2x so dense-f32 moves the SAME bytes while skipping the
+    # bf16 round-trip; at C=16 bf16 is already dense and f32 doubles bytes
+    # (measure per stage — VERDICT r3 #1b).
+    store_f32 = os.environ.get("FFCNN_FUSED_STORE", "input") == "f32"
+    mid_dtype = jnp.float32 if store_f32 else x.dtype
     xc = jnp.transpose(x, (1, 3, 2, 0)).reshape(hh, cc, ww * n)
-    for b in run.blocks:
+    for i, b in enumerate(run.blocks):
         acts = (ir.layers[b.start].activation,
                 ir.layers[b.start + 1].activation,
                 ir.layers[b.start + 2].activation)
-        xc = _cs_block(xc, _block_params(params, b), acts, b.residual,
-                       b.res_act, ww, n, interpret=interpret)
+        last = i == len(run.blocks) - 1
+        od = x.dtype if last else mid_dtype
+        if b.down:
+            xc = _cs_down_block(xc, _block_params(params, b), acts, ww, n,
+                                interpret=interpret, out_dtype=od)
+            hh, ww = hh // 2, ww // 2
+        else:
+            xc = _cs_block(xc, _block_params(params, b), acts, b.residual,
+                           b.res_act, ww, n, interpret=interpret,
+                           out_dtype=od)
     p_ = xc.shape[1]
     return jnp.transpose(xc.reshape(hh, p_, ww, n), (3, 0, 2, 1))
 

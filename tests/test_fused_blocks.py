@@ -22,9 +22,13 @@ REF_CFG = "/root/reference/yolo-fastest-1.1.cfg"
 def test_find_blocks_flagship():
     ir = parse_cfg(REF_CFG, 320, 320)
     blocks = find_fused_blocks(ir)
-    # 20 inverted-residual blocks cover 96 of the 131 layers
-    assert len(blocks) == 20
-    assert sum(b.end - b.start + 1 for b in blocks.values()) == 96
+    # 20 inverted-residual blocks + 4 stride-2 stage transitions cover
+    # 108 of the 131 layers
+    assert len(blocks) == 24
+    assert sum(b.end - b.start + 1 for b in blocks.values()) == 108
+    downs = sorted(s for s, b in blocks.items() if b.down)
+    assert downs == [9, 22, 58, 81]
+    assert all(not blocks[s].residual for s in downs)
     # every interior blob is free of route/shortcut references
     referenced = set()
     for l in ir.layers:
@@ -132,6 +136,76 @@ def test_fused_run_chain_matches_xla_flagship_stage():
     got = apply_run(x, ir, params, runs[0], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(cur),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_down_block_kernel_matches_xla():
+    """The stride-2 stage-transition kernel (L58-60 at 320x320: 40x40/C16
+    -> 20x20/C24 through E96) vs the XLA conv chain, interpret mode."""
+    from ffcnn_tpu.kernels.block_fused import find_fused_blocks
+    from ffcnn_tpu.ops.conv import conv2d_fused
+
+    ir = parse_cfg(REF_CFG, 320, 320)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=4, obj_bias=0.0))[0])
+    b = find_fused_blocks(ir)[58]
+    assert b.down and b.end == 60
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 40, 40, 16).astype(np.float32) * 0.5)
+    cur = x
+    for li in range(58, 61):
+        l = ir.layers[li]
+        p = params[li]
+        cur = conv2d_fused(cur, p["weights"], p["scale"], p["bias"],
+                           stride=l.stride, pad=l.pad, groups=l.groups,
+                           act=l.activation)
+    from ffcnn_tpu.kernels.block_fused import FusedRun
+    got = apply_run(x, ir, params, FusedRun(58, 60, (b,)), interpret=True)
+    assert got.shape == (2, 20, 20, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(cur),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_region_runs_span_stages(monkeypatch):
+    """FFCNN_FUSED_DOWN=1 + MINC=1: runs chain ACROSS stride-2 stage
+    transitions — the flagship backbone collapses into a few whole-region
+    runs, and the fused forward still matches XLA (interpret mode)."""
+    monkeypatch.setenv("FFCNN_FUSED_DOWN", "1")
+    ir = parse_cfg(REF_CFG, 320, 320)
+    runs = plan_runs(ir, min_channels=1)
+    # the whole backbone collapses to TWO regions: L1..L80 (15 residual
+    # blocks + 3 stage transitions) and L81..L108 (the L81 down block
+    # starts a new run because blob 81 feeds route L124, + the 10x10
+    # stage's 5 residual blocks).
+    spans = [(r.start, r.end, len(r.blocks)) for r in runs]
+    assert spans == [(1, 80, 18), (81, 108, 6)], spans
+
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=6, obj_bias=0.0))[0])
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    ref = forward_features(ir, params, x)
+    got = forward_features(ir, params, x, fused_runs=runs,
+                           fused_interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_f32_storage_matches(monkeypatch):
+    """FFCNN_FUSED_STORE=f32 (dense-f32 boundary blobs) is numerically
+    at least as close to XLA as the default storage."""
+    ir = parse_cfg(REF_CFG, 320, 320)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=1, obj_bias=0.0))[0])
+    run = [r for r in plan_runs(ir) if r.start == 61][0]
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 20, 20, 24).astype(np.float32) * 0.5)
+    ref = apply_run(x, ir, params, run, interpret=True)
+    monkeypatch.setenv("FFCNN_FUSED_STORE", "f32")
+    got = apply_run(x, ir, params, run, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_mega_run_matches_per_block(monkeypatch):
