@@ -60,7 +60,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                      accum_dtype=jnp.float32, input_dtype=None,
                      quant=None, blob_hook=None, fused_runs=None,
                      head_runs=None, fused_interpret: bool = False,
-                     conv0_int8: bool = False) -> List:
+                     conv0_int8: bool = False,
+                     conv0_pallas: bool = False) -> List:
     """Run the graph body.  ``x``: (N, H, W, C) net input.  Returns the raw
     (N, h, w, 3*(5+classes)) feature map feeding each yolo layer, in graph
     order.  ``params`` is a pytree {layer_index: {weights, scale, bias}} (or
@@ -98,7 +99,24 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                            for l in ir.layers
                            if l.type in (LayerType.ROUTE,
                                          LayerType.SHORTCUT)))
-    if use_c0q:
+    # Pallas stem (kernels/conv0_fused.py): conv0 off the raw uint8 pixels,
+    # output emitted directly in the fused (H, C, W*N) layout and chained
+    # into the region run starting at layer 1 — blob 1 never takes an NHWC
+    # detour, so it must have no consumers outside that run.
+    l0 = ir.layers[0]
+    use_c0p = (conv0_pallas and not use_c0q and x.dtype == jnp.uint8
+               and fused_runs is not None
+               and any(r.start == 1 for r in fused_runs)
+               and l0.type == LayerType.CONV and l0.groups == 1
+               and l0.fs == 3 and l0.stride == 2 and l0.pad == 1
+               and ir.blobs[0].w % 2 == 0 and ir.blobs[0].h % 2 == 0
+               and (quant is None or (0 not in quant.weights
+                                      and not quant.blob_is_int8(1)))
+               and not any(1 in (d + 1 for d in l.depends)
+                           for l in ir.layers
+                           if l.type in (LayerType.ROUTE,
+                                         LayerType.SHORTCUT)))
+    if use_c0q or use_c0p:
         float_dtype = input_dtype or jnp.float32
     else:
         if not jnp.issubdtype(x.dtype, jnp.floating):
@@ -221,6 +239,30 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     skip_until = -1
     for li, layer in enumerate(ir.layers):
         if li < skip_until:
+            continue
+        if li == 0 and use_c0p:
+            from ..kernels.block_fused import run_blocks_cs
+            from ..kernels.conv0_fused import conv0_cs
+            r = run_map[1]
+            p = params[0]
+            w0, s0, b0 = (p["weights"], p["scale"], p["bias"]) \
+                if isinstance(p, dict) else (p.weights, p.scale, p.bias)
+            nb = x.shape[0]
+            with jax.named_scope("L000_conv0_pallas"):
+                xc0 = conv0_cs(x, w0, s0, b0, l0.activation,
+                               out_dtype=float_dtype,
+                               interpret=fused_interpret)
+            with jax.named_scope(f"L001_fusedrun_to_{r.end:03d}"):
+                xc, hh2, ww2 = run_blocks_cs(
+                    xc0, ir, params, r, ir.blobs[1].h, ir.blobs[1].w, nb,
+                    final_dtype=float_dtype, interpret=fused_interpret)
+                p2 = xc.shape[1]
+                y = jnp.transpose(xc.reshape(hh2, p2, ww2, nb),
+                                  (3, 0, 2, 1))
+                blobs[r.end + 1] = store(r.end + 1, y)
+            skip_until = r.end + 1
+            if blob_hook is not None:
+                blob_hook(r.end + 1, deq(r.end + 1))
             continue
         if li in head_map:
             from ..kernels.head_fused import apply_head_run

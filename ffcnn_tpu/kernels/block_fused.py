@@ -440,12 +440,30 @@ def apply_run(x, ir: NetIR, params, run: FusedRun, *,
     store_f32 = os.environ.get("FFCNN_FUSED_STORE", "input") == "f32"
     mid_dtype = jnp.float32 if store_f32 else x.dtype
     xc = jnp.transpose(x, (1, 3, 2, 0)).reshape(hh, cc, ww * n)
+    xc, hh, ww = run_blocks_cs(xc, ir, params, run, hh, ww, n,
+                               final_dtype=x.dtype, mid_dtype=mid_dtype,
+                               interpret=interpret)
+    p_ = xc.shape[1]
+    return jnp.transpose(xc.reshape(hh, p_, ww, n), (3, 0, 2, 1))
+
+
+def run_blocks_cs(xc, ir: NetIR, params, run: FusedRun, hh: int, ww: int,
+                  n: int, *, final_dtype, mid_dtype=None,
+                  interpret: bool = False):
+    """Run a FusedRun's blocks on an already-(H, C, W*N)-layout input —
+    the shared body of apply_run, also entered directly by the Pallas
+    conv0 path (kernels/conv0_fused.py) so the stem's output never takes
+    an NHWC detour.  Returns (xc', H', W')."""
+    if mid_dtype is None:
+        import os
+        mid_dtype = jnp.float32 \
+            if os.environ.get("FFCNN_FUSED_STORE", "input") == "f32" \
+            else final_dtype
     for i, b in enumerate(run.blocks):
         acts = (ir.layers[b.start].activation,
                 ir.layers[b.start + 1].activation,
                 ir.layers[b.start + 2].activation)
-        last = i == len(run.blocks) - 1
-        od = x.dtype if last else mid_dtype
+        od = final_dtype if i == len(run.blocks) - 1 else mid_dtype
         if b.down:
             xc = _cs_down_block(xc, _block_params(params, b), acts, ww, n,
                                 interpret=interpret, out_dtype=od)
@@ -454,8 +472,7 @@ def apply_run(x, ir: NetIR, params, run: FusedRun, *,
             xc = _cs_block(xc, _block_params(params, b), acts, b.residual,
                            b.res_act, ww, n, interpret=interpret,
                            out_dtype=od)
-    p_ = xc.shape[1]
-    return jnp.transpose(xc.reshape(hh, p_, ww, n), (3, 0, 2, 1))
+    return xc, hh, ww
 
 
 # ----------------------------------------------------------- mega variant

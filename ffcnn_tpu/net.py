@@ -53,8 +53,9 @@ NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
 _TRACE_ENV_FLAGS = ("FFCNN_FUSED", "FFCNN_FUSED_HEADS", "FFCNN_FUSED_MEGA",
                     "FFCNN_FUSED_DOTMODE", "FFCNN_FUSED_INTERPRET",
                     "FFCNN_FUSED_STORE", "FFCNN_CONV0_INT8",
-                    "FFCNN_PLANAR_HEADS", "FFCNN_TOPK_IMPL",
-                    "FFCNN_DECODE_IMPL", "FFCNN_NMS_IMPL")
+                    "FFCNN_CONV0_PALLAS", "FFCNN_PLANAR_HEADS",
+                    "FFCNN_TOPK_IMPL", "FFCNN_DECODE_IMPL",
+                    "FFCNN_NMS_IMPL")
 
 
 def _planarize_heads(ir: NetIR, params: Dict, quant):
@@ -330,6 +331,10 @@ class Net:
             # exact-shift algebra is kept tested for when the backend's
             # int8 small-C convs improve (docs/PERF_NOTES.md).
             c0q = folded and os.environ.get("FFCNN_CONV0_INT8", "0") == "1"
+            # Pallas stem + fused-layout handoff into a region run starting
+            # at layer 1 (kernels/conv0_fused.py); needs the region planner
+            # (FFCNN_FUSED_DOWN=1, MINC<=8) to have produced that run.
+            c0p = folded and os.environ.get("FFCNN_CONV0_PALLAS", "0") == "1"
             # Planar head layout (fast/int8): head conv channels permuted
             # field-major at trace time so decode reads contiguous slices
             # (bit-exact; _planarize_heads).  Measured a device-time WASH
@@ -343,7 +348,8 @@ class Net:
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
                                      fused_runs=runs, head_runs=hruns,
-                                     conv0_int8=c0q, fused_interpret=interp)
+                                     conv0_int8=c0q, conv0_pallas=c0p,
+                                     fused_interpret=interp)
             yolo_lis = [yli for yli, l in enumerate(ir.layers)
                         if l.type == LayerType.YOLO]
             decoded = concat_heads([

@@ -57,8 +57,13 @@ def _jax_candidates(ir, params, img, size):
     scores = np.asarray(d.scores)[0]
     boxes = np.asarray(d.boxes)[0]
     classes = np.asarray(d.classes)[0]
-    return [(int(classes[i]), float(scores[i]), *map(float, boxes[i]))
-            for i in np.nonzero(scores > 0)[0]]
+    out = [(int(classes[i]), float(scores[i]), *map(float, boxes[i]))
+           for i in np.nonzero(scores > 0)[0]]
+    # reference bbox-arena capacity (ffcnn.c:242-244,461): appends stop
+    # silently at input_bytes/24 candidates — same cutoff the oracle and
+    # the jitted pipeline (ops.yolo.apply_arena_cap) now apply.
+    from ffcnn_tpu.ops.yolo import arena_capacity
+    return out[:arena_capacity(size, size, ir.blobs[0].c)]
 
 
 @pytest.mark.parametrize("cfg_path", CFGS, ids=[

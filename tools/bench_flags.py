@@ -43,8 +43,17 @@ def main():
     batch = np.clip(batch.astype(np.int16)
                     + rng.randint(0, 8, batch.shape, dtype=np.uint8),
                     0, 255).astype(np.uint8)
+    batch[0] = img          # image 0 exact -> golden-gates the BATCHED
+    #                         pipeline too (batch%128 activates the fused
+    #                         kernels, which the single-image probe skips)
     bj = jnp.asarray(batch)
-    jax.block_until_ready(net.detect_device(bj))
+    res = net.detect_device(bj)
+    jax.block_until_ready(res)
+    dets0 = [d for d in net._to_detections(res)[0]]
+    ok_batch = len(dets0) == len(golden) and all(
+        d.class_id == cat and all(abs(g - v) <= 2 for g, v in
+                                  zip(rect, (d.x1, d.y1, d.x2, d.y2)))
+        for d, (cat, rect) in zip(dets0, golden))
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -55,6 +64,7 @@ def main():
     print(json.dumps({"img_s": round(BATCH / dt, 1),
                       "ms_batch": round(dt * 1000, 3),
                       "golden_ok": bool(ok),
+                      "golden_batch_ok": bool(ok_batch),
                       "flags": os.environ.get("XLA_FLAGS", "")}))
 
 

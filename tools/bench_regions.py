@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""A/B driver for the fused-REGION experiments (VERDICT r3 #1).
+
+Runs tools/bench_flags.py in a fresh child process per FFCNN_FUSED_*
+configuration (fresh process = trustworthy wall numbers through the axon
+tunnel; docs/PERF_NOTES.md measurement protocol), with generous timeouts
+(whole-backbone regions compile many distinct Mosaic kernels; cold
+compiles can take minutes).  Appends one JSON line per config to the
+output file so a killed run keeps its partial results.
+
+    /opt/venv/bin/python tools/bench_regions.py [-o /tmp/regions.jsonl]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+# (label, env overrides).  MINC sweeps the channel gate downward with the
+# stage-transition blocks fused (FFCNN_FUSED_DOWN) so the C<=16 stages are
+# re-scored in stage-spanning regions (round-2 scored them with per-stage
+# round-trips); STORE=f32 isolates the dense-f32 boundary-blob trade.
+CONFIGS = [
+    ("baseline_minc24", {}),
+    ("down_minc24", {"FFCNN_FUSED_DOWN": "1"}),
+    ("down_minc16", {"FFCNN_FUSED_DOWN": "1", "FFCNN_FUSED_MINC": "16"}),
+    ("down_minc16_f32", {"FFCNN_FUSED_DOWN": "1", "FFCNN_FUSED_MINC": "16",
+                         "FFCNN_FUSED_STORE": "f32"}),
+    ("down_minc8", {"FFCNN_FUSED_DOWN": "1", "FFCNN_FUSED_MINC": "8"}),
+    ("down_minc8_f32", {"FFCNN_FUSED_DOWN": "1", "FFCNN_FUSED_MINC": "8",
+                        "FFCNN_FUSED_STORE": "f32"}),
+    ("down_minc1_f32", {"FFCNN_FUSED_DOWN": "1", "FFCNN_FUSED_MINC": "1",
+                        "FFCNN_FUSED_STORE": "f32"}),
+    ("minc16_f32_nodown", {"FFCNN_FUSED_MINC": "16",
+                           "FFCNN_FUSED_STORE": "f32"}),
+]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--out", default="/tmp/bench_regions.jsonl")
+    ap.add_argument("--timeout", type=float, default=1500.0)
+    ap.add_argument("--configs", nargs="*", default=None,
+                    help="subset of config labels to run")
+    args = ap.parse_args(argv)
+
+    for label, overrides in CONFIGS:
+        if args.configs and label not in args.configs:
+            continue
+        env = dict(os.environ, **overrides)
+        try:
+            proc = subprocess.run(
+                [PY, os.path.join(REPO, "tools", "bench_flags.py")],
+                env=env, capture_output=True, text=True,
+                timeout=args.timeout)
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout \
+                else ""
+            try:
+                rec = json.loads(line)
+            except (ValueError, IndexError):
+                rec = {"error": (proc.stderr or "no output")[-2000:]}
+        except subprocess.TimeoutExpired:
+            rec = {"error": f"timeout {args.timeout}s"}
+        rec["config"] = label
+        rec["env"] = overrides
+        print(json.dumps(rec), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
