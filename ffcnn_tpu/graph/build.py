@@ -255,7 +255,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             with jax.named_scope(f"L001_fusedrun_to_{r.end:03d}"):
                 xc, hh2, ww2 = run_blocks_cs(
                     xc0, ir, params, r, ir.blobs[1].h, ir.blobs[1].w, nb,
-                    final_dtype=float_dtype, interpret=fused_interpret)
+                    final_dtype=float_dtype, interpret=fused_interpret,
+                    quant=quant)
                 p2 = xc.shape[1]
                 y = jnp.transpose(xc.reshape(hh2, p2, ww2, nb),
                                   (3, 0, 2, 1))
@@ -280,7 +281,7 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             r = run_map[li]
             with jax.named_scope(f"L{li:03d}_fusedrun_to_{r.end:03d}"):
                 y = apply_run(deq(li), ir, params, r,
-                              interpret=fused_interpret)
+                              interpret=fused_interpret, quant=quant)
                 # boundary blobs keep their quant-plan storage so the int8
                 # pipeline is identical with or without fusion active
                 blobs[r.end + 1] = store(r.end + 1, y)

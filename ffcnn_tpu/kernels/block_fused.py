@@ -199,24 +199,37 @@ def _block_params(params, b: FusedBlock):
             jnp.transpose(w2.reshape(e, p_)), s3[:, None], b3[:, None])
 
 
+def _quantize(y, inv_scale):
+    return jnp.clip(jnp.round(y * inv_scale), -127, 127)
+
+
 def _make_kernel(rows: int, width: int, n: int, acts, residual: bool,
-                 res_act: int):
+                 res_act: int, in_scale: Optional[float] = None,
+                 out_scale: Optional[float] = None):
+    """``in_scale``/``out_scale``: int8 boundary-blob storage (VERDICT r3
+    #3) — the input rows dequantize by ``in_scale`` on load and the output
+    requantizes by ``1/out_scale`` before the (int8) store.  In-kernel
+    math stays f32 either way."""
     R, W, N = rows, width, n
 
     import os
     batched = os.environ.get("FFCNN_FUSED_DOTMODE", "loop") == "batched"
+
+    def load(xr):
+        v = xr.astype(jnp.float32)
+        return v * in_scale if in_scale is not None else v
 
     def kern(xt, xc, xb, w1, s1, b1, kdw, s2, b2, w2, s3, b3, o_ref):
         h = pl.program_id(0)
         nh = pl.num_programs(0)
         E = w1.shape[0]
         S = W * N
-        src = [xt[0], *[xc[r] for r in range(R)], xb[0]]
+        src = [load(xt[0]), *[load(xc[r]) for r in range(R)], load(xb[0])]
         if batched:
             # One rank-3 MXU dot for all rows' pw-expand (Mosaic lowers
             # rank-3 dot_general + static middle-dim indexing; measured
             # vs the per-row loop — see docs/PERF_NOTES.md session 3).
-            xs = jnp.stack([r.astype(jnp.float32) for r in src])
+            xs = jnp.stack(src)
             a3 = lax.dot_general(w1[...], xs, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
             a3 = activate(a3 * s1[...][..., None] + b1[...][..., None],
@@ -224,7 +237,7 @@ def _make_kernel(rows: int, width: int, n: int, acts, residual: bool,
             rows = [a3[:, i] for i in range(R + 2)]
         else:
             rows = [activate(lax.dot_general(
-                        w1[...], xr.astype(jnp.float32),
+                        w1[...], xr,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32) * s1[...]
                         + b1[...], acts[0])
@@ -250,9 +263,12 @@ def _make_kernel(rows: int, width: int, n: int, acts, residual: bool,
                                 preferred_element_type=jnp.float32)
             y = activate(y * s3[...] + b3[...], acts[2])
             if residual:
-                y = activate(y + xc[r].astype(jnp.float32), res_act)
+                y = activate(y + src[r + 1], res_act)
             outs.append(y)
-        o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
+        out = jnp.stack(outs)
+        if out_scale is not None:
+            out = _quantize(out, 1.0 / out_scale)
+        o_ref[...] = out.astype(o_ref.dtype)
 
     return kern
 
@@ -280,7 +296,9 @@ def reduce_rows_cap() -> bool:
     return False
 
 
-def _make_down_kernel(rows: int, width: int, n: int, acts):
+def _make_down_kernel(rows: int, width: int, n: int, acts,
+                      in_scale: Optional[float] = None,
+                      out_scale: Optional[float] = None):
     """Stride-2 variant: R OUTPUT rows per grid step consume input rows
     [2*r0-1, 2*r0+2R-1] — a top halo row plus a 2R-row block (no bottom
     halo: with even H the y=+1 tap of the last output row is in-block).
@@ -290,13 +308,17 @@ def _make_down_kernel(rows: int, width: int, n: int, acts):
     R, W, N = rows, width, n
     WO = W // 2
 
+    def load(xr):
+        v = xr.astype(jnp.float32)
+        return v * in_scale if in_scale is not None else v
+
     def kern(xt, xc, w1, s1, b1, kdw, s2, b2, w2, s3, b3, o_ref):
         h = pl.program_id(0)
         E = w1.shape[0]
         SO = WO * N
-        src = [xt[0], *[xc[r] for r in range(2 * R)]]
+        src = [load(xt[0]), *[load(xc[r]) for r in range(2 * R)]]
         rows_ = [activate(lax.dot_general(
-                     w1[...], xr.astype(jnp.float32),
+                     w1[...], xr,
                      (((1,), (0,)), ((), ())),
                      preferred_element_type=jnp.float32) * s1[...]
                      + b1[...], acts[0])
@@ -317,7 +339,10 @@ def _make_down_kernel(rows: int, width: int, n: int, acts):
             y = lax.dot_general(w2[...], h2, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             outs.append(activate(y * s3[...] + b3[...], acts[2]))
-        o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
+        out = jnp.stack(outs)
+        if out_scale is not None:
+            out = _quantize(out, 1.0 / out_scale)
+        o_ref[...] = out.astype(o_ref.dtype)
 
     return kern
 
@@ -354,7 +379,8 @@ def _pick_rows_down(h_out: int, e: int, s: int) -> int:
 
 
 def _cs_down_block(x, params9, acts, width: int, n: int,
-                   interpret: bool = False, out_dtype=None):
+                   interpret: bool = False, out_dtype=None,
+                   in_scale=None, out_scale=None):
     """One stride-2 stage-transition block in (H, C, W*N) layout ->
     (H/2, P, (W/2)*N)."""
     hh, cc, s = x.shape
@@ -362,7 +388,7 @@ def _cs_down_block(x, params9, acts, width: int, n: int,
     e, p_ = w1.shape[0], params9[6].shape[0]
     ho, wo = hh // 2, width // 2
     r = _pick_rows_down(ho, e, s)
-    kern = _make_down_kernel(r, width, n, acts)
+    kern = _make_down_kernel(r, width, n, acts, in_scale, out_scale)
     top = pl.BlockSpec((1, cc, s),
                        lambda i: (jnp.maximum(i * 2 * r - 1, 0), 0, 0),
                        memory_space=pltpu.VMEM)
@@ -383,13 +409,15 @@ def _cs_down_block(x, params9, acts, width: int, n: int,
 
 
 def _cs_block(x, params9, acts, residual: bool, res_act: int,
-              width: int, n: int, interpret: bool = False, out_dtype=None):
+              width: int, n: int, interpret: bool = False, out_dtype=None,
+              in_scale=None, out_scale=None):
     """One block in (H, C, W*N) layout -> (H, P, W*N)."""
     hh, cc, s = x.shape
     w1 = params9[0]
     e, p_ = w1.shape[0], params9[6].shape[0]
     r = _pick_rows(hh, e, s)
-    kern = _make_kernel(r, width, n, acts, residual, res_act)
+    kern = _make_kernel(r, width, n, acts, residual, res_act,
+                        in_scale, out_scale)
     top = pl.BlockSpec((1, cc, s),
                        lambda i: (jnp.maximum(i * r - 1, 0), 0, 0),
                        memory_space=pltpu.VMEM)
@@ -412,7 +440,7 @@ def _cs_block(x, params9, acts, residual: bool, res_act: int,
 
 
 def apply_run(x, ir: NetIR, params, run: FusedRun, *,
-              interpret: bool = False):
+              interpret: bool = False, quant=None):
     """Run a chain of fused blocks on an NHWC input blob: one layout
     round-trip around the whole run.  Two strategies:
 
@@ -429,7 +457,7 @@ def apply_run(x, ir: NetIR, params, run: FusedRun, *,
     # Default OFF until A/B-measured on the real chip (CPU-interpret
     # equivalence is tested; Mosaic lowering at production geometry is not).
     if os.environ.get("FFCNN_FUSED_MEGA", "0") != "0" and \
-            all(not b.down for b in run.blocks) and \
+            all(not b.down for b in run.blocks) and quant is None and \
             n % MEGA_NB == 0 and _mega_fits(ir, params, run, hh, ww):
         return _apply_run_mega(x, ir, params, run, interpret=interpret)
     # Boundary-blob storage between blocks: 'f32' stores dense f32 rows
@@ -442,36 +470,53 @@ def apply_run(x, ir: NetIR, params, run: FusedRun, *,
     xc = jnp.transpose(x, (1, 3, 2, 0)).reshape(hh, cc, ww * n)
     xc, hh, ww = run_blocks_cs(xc, ir, params, run, hh, ww, n,
                                final_dtype=x.dtype, mid_dtype=mid_dtype,
-                               interpret=interpret)
+                               interpret=interpret, quant=quant)
     p_ = xc.shape[1]
     return jnp.transpose(xc.reshape(hh, p_, ww, n), (3, 0, 2, 1))
 
 
 def run_blocks_cs(xc, ir: NetIR, params, run: FusedRun, hh: int, ww: int,
                   n: int, *, final_dtype, mid_dtype=None,
-                  interpret: bool = False):
+                  interpret: bool = False, quant=None):
     """Run a FusedRun's blocks on an already-(H, C, W*N)-layout input —
     the shared body of apply_run, also entered directly by the Pallas
     conv0 path (kernels/conv0_fused.py) so the stem's output never takes
-    an NHWC detour.  Returns (xc', H', W')."""
+    an NHWC detour.  Returns (xc', H', W').
+
+    ``quant``: optional QuantPlan — INTERIOR block-boundary blobs the plan
+    marks int8 are stored int8 in the fused layout (requantize in the
+    producing kernel's epilogue, dequantize on the next kernel's load),
+    halving their HBM round-trip where C>=24 (tools/traffic_model.py).
+    The run's input and output stay float — graph/build handles edge
+    requantization, identical with or without fusion."""
     if mid_dtype is None:
         import os
         mid_dtype = jnp.float32 \
             if os.environ.get("FFCNN_FUSED_STORE", "input") == "f32" \
             else final_dtype
+    in_scale = None
     for i, b in enumerate(run.blocks):
         acts = (ir.layers[b.start].activation,
                 ir.layers[b.start + 1].activation,
                 ir.layers[b.start + 2].activation)
-        od = final_dtype if i == len(run.blocks) - 1 else mid_dtype
+        last = i == len(run.blocks) - 1
+        out_scale = None
+        if not last and quant is not None \
+                and quant.blob_is_int8(b.end + 1):
+            out_scale = float(quant.blob_scale[b.end + 1])
+        od = (jnp.int8 if out_scale is not None
+              else (final_dtype if last else mid_dtype))
         if b.down:
             xc = _cs_down_block(xc, _block_params(params, b), acts, ww, n,
-                                interpret=interpret, out_dtype=od)
+                                interpret=interpret, out_dtype=od,
+                                in_scale=in_scale, out_scale=out_scale)
             hh, ww = hh // 2, ww // 2
         else:
             xc = _cs_block(xc, _block_params(params, b), acts, b.residual,
                            b.res_act, ww, n, interpret=interpret,
-                           out_dtype=od)
+                           out_dtype=od, in_scale=in_scale,
+                           out_scale=out_scale)
+        in_scale = out_scale
     return xc, hh, ww
 
 

@@ -239,6 +239,11 @@ class Net:
         if self.mode != "int8":
             raise ValueError("calibrate() applies to mode='int8'")
         from .quant import calibrate as _calib
+        # A/B knob: FFCNN_INT8_MINC sweeps the blob-channel gate without
+        # code changes (24 puts the fused runs' interior boundaries in
+        # int8 — kernels/block_fused.py run_blocks_cs; 32 is the r2
+        # accuracy/perf sweet spot on the XLA path).
+        min_channels = int(os.environ.get("FFCNN_INT8_MINC", min_channels))
         # Fused Pallas runs compose cleanly with the plan: run boundary
         # blobs keep their planned storage (the graph builder requantizes
         # the run output), and the runs' interior blobs simply never
