@@ -142,6 +142,11 @@ def test_odd_geometry_jit_vs_oracle():
         classes = np.asarray(d.classes)[0]
         got = [(int(classes[i]), float(scores[i]), *map(float, boxes[i]))
                for i in np.nonzero(scores > 0)[0]]
+        # reference bbox-arena capacity (ffcnn.c:242-244,461), same cutoff
+        # net_candidates applies (the jitted pipeline's apply_arena_cap
+        # lives in Net; this raw-decode helper caps explicitly)
+        from ffcnn_tpu.ops.yolo import arena_capacity
+        got = got[:arena_capacity(net_w, net_h, ir.blobs[0].c)]
         assert len(got) == len(want), (shape, len(got), len(want))
         for g, w in zip(got, want):
             assert g[0] == w[0]
