@@ -66,11 +66,25 @@ def cmd_bench(args) -> int:
 
     batch = np.random.randint(0, 255, (args.batch, args.size, args.size, 3),
                               np.uint8)
-    if args.dp or args.sp > 1:
-        # mesh pipeline (parallel/dp.py): batch sharded on the data axis,
-        # params replicated; --sp N additionally shards image rows over a
-        # spatial axis (halo exchanges inserted by the SPMD partitioner —
-        # the few-huge-images latency regime)
+    if args.dp and args.sp == 1:
+        # Pure DP: shard_map around the net's own single-chip pipeline —
+        # fused kernels + folded preprocess per shard (parallel/dp.py::
+        # build_dp_pipeline; per-chip perf = the single-chip number)
+        from . import Net
+        from .parallel import build_dp_pipeline, make_mesh
+
+        net = Net.load(args.cfg, args.weights, args.size, args.size,
+                       mode=args.mode)
+        mesh = make_mesh()
+        fn = build_dp_pipeline(net, mesh, args.size, args.size)
+        bj = jnp.asarray(batch)
+        run = lambda: fn(bj)
+        label = "dp mesh %s" % dict(mesh.shape)
+    elif args.dp or args.sp > 1:
+        # GSPMD mesh pipeline (parallel/dp.py): batch sharded on the data
+        # axis, params replicated; --sp N additionally shards image rows
+        # over a spatial axis (halo exchanges inserted by the SPMD
+        # partitioner — the few-huge-images latency regime)
         from .darknet import parse_cfg, load_weights
         from .graph.build import params_to_pytree
         from .parallel import build_sharded_pipeline, make_mesh

@@ -79,6 +79,13 @@ def test_cli_bench_and_profile_smoke(micro_files, capsys):
                  "1", "--cfg", cfg, "--weights", wpath]) == 0
     out = capsys.readouterr().out
     assert "conv" in out and "memory" in out
+    # pure-DP bench: shard_map over the 8-device CPU mesh around the
+    # single-chip pipeline (build_dp_pipeline)
+    assert main(["bench", "--dp", "--batch", "8", "--size", str(size),
+                 "--iters", "1", "--mode", "fast",
+                 "--cfg", cfg, "--weights", wpath]) == 0
+    out = capsys.readouterr().out
+    assert "dp mesh" in out and "img/s" in out
 
 
 def test_memory_stats(micro_files):
