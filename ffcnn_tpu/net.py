@@ -189,21 +189,36 @@ class Net:
             out += self.profile_layers(batch=batch).render(per_layer=False)
         return out
 
-    def warmup(self, image_sizes=None, batch_sizes=(1,)) -> None:
+    def warmup(self, image_sizes=None, batch_sizes=(1,),
+               topk_ladder: bool = False) -> None:
         """Precompile pipeline buckets for the given (H, W) image sizes and
         batch sizes (serving cold-start control; combine with
         enable_compile_cache() to persist across processes).  Defaults to
-        the model's own input size."""
+        the model's own input size.
+
+        ``topk_ladder=True`` additionally precompiles every K bucket the
+        parity-mode saturation retry can reach (topk*4^i up to the model
+        max): a crowded-scene burst then retries against warm programs
+        instead of stalling 40-140 s per new K (docs/DEPLOY.md caveat)."""
         if self.mode == "int8" and self.quant is None:
             raise RuntimeError(
                 "int8 mode: call calibrate(images) with representative "
                 "frames before warmup() — calibrating on the zero probe "
                 "images would produce garbage activation scales")
         net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
+        max_k = self._max_candidates()
+        ks = [None]
+        if topk_ladder:
+            k = min(self.topk, max_k)
+            while k < max_k:
+                k = min(max_k, k * 4)
+                ks.append(k)
         for (h, w) in (image_sizes or [(net_h, net_w)]):
             for n in batch_sizes:
-                res = self.detect_device(np.zeros((n, h, w, 3), np.uint8))
-                jax.block_until_ready(res)
+                for k in ks:
+                    res = self.detect_device(
+                        np.zeros((n, h, w, 3), np.uint8), topk=k)
+                    jax.block_until_ready(res)
 
     def profile_layers(self, batch=None, iters: int = 10):
         """Hardware per-layer profile (profiling.py): runs ``iters`` jitted

@@ -102,3 +102,24 @@ def test_no_warning_when_capacity_fits(micro):
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         net.detect(img)
+
+
+def test_warmup_topk_ladder_precompiles_retry_buckets(micro):
+    """warmup(topk_ladder=True) compiles every K bucket the parity-mode
+    saturation retry can reach, so a crowded burst hits warm programs
+    (docs/DEPLOY.md production caveat)."""
+    ir, params, img = micro
+    net = Net(ir, params, mode="parity", topk=8)
+    net.warmup(topk_ladder=True)
+    compiled_ks = {key[3] for key in net._pipelines}
+    want = {8}
+    k, mx = 8, net._max_candidates()
+    while k < mx:
+        k = min(mx, k * 4)
+        want.add(k)
+    assert want <= compiled_ks, (want, compiled_ks)
+    # the crowded detect now only hits warm buckets
+    before = set(net._pipelines)
+    dets = net.detect(img)
+    assert len(dets) > 8
+    assert set(net._pipelines) == before
