@@ -364,6 +364,130 @@ def _pick_rows(h: int, e: int, s: int) -> int:
     return 1
 
 
+def _make_cascade_kernel(rows: int, width: int, n: int, metas, h_total: int,
+                         in_scale: Optional[float] = None,
+                         out_scale: Optional[float] = None):
+    """K consecutive s1 blocks in ONE launch (halo cascade): a grid step
+    computes R final-output rows from R+2K input rows; every intermediate
+    block boundary stays in VMEM (the per-block path round-trips it
+    through HBM — ~2x the region's remaining traffic at the big stages).
+    Each block's span shrinks by 2 rows; rows outside the image are zeroed
+    AFTER that block's pw-expand (dw zero-pad semantics, same rule as
+    _make_kernel).  Requires rows >= K so halo BlockSpec clamping only
+    ever distorts fully-invalid rows.
+
+    ``metas``: per block (acts, residual, res_act)."""
+    R, W, N = rows, width, n
+    K = len(metas)
+
+    def load(xr):
+        v = xr.astype(jnp.float32)
+        return v * in_scale if in_scale is not None else v
+
+    def kern(*refs):
+        o_ref = refs[-1]
+        halo_t = refs[:K]
+        xc = refs[K]
+        halo_b = refs[K + 1:2 * K + 1]
+        flat = refs[2 * K + 1:-1]
+        i = pl.program_id(0)
+        S = W * N
+        cur = [load(halo_t[s][0]) for s in range(K)] \
+            + [load(xc[r]) for r in range(R)] \
+            + [load(halo_b[s][0]) for s in range(K)]
+        off0 = -K
+        for j, (acts, residual, res_act) in enumerate(metas):
+            w1, s1, b1, kdw, s2, b2, w2, s3, b3 = flat[9 * j: 9 * j + 9]
+            span = len(cur)
+            h1 = []
+            for idx in range(span):
+                a = activate(lax.dot_general(
+                        w1[...], cur[idx], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) * s1[...]
+                        + b1[...], acts[0])
+                abs_row = i * R + off0 + idx
+                a = jnp.where((abs_row < 0) | (abs_row >= h_total), 0.0, a)
+                h1.append(jnp.pad(a, ((0, 0), (N, N))))
+            outs = []
+            for r in range(span - 2):
+                acc = jnp.zeros((w1.shape[0], S), jnp.float32)
+                for dy in range(3):
+                    for dx in range(3):
+                        acc = acc + (h1[r + dy][:, dx * N: dx * N + S]
+                                     * kdw[dy, dx][:, None])
+                h2 = activate(acc * s2[...] + b2[...], acts[1])
+                y = lax.dot_general(w2[...], h2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                y = activate(y * s3[...] + b3[...], acts[2])
+                if residual:
+                    y = activate(y + cur[r + 1], res_act)
+                outs.append(y)
+            cur = outs
+            off0 += 1
+        out = jnp.stack(cur)
+        if out_scale is not None:
+            out = _quantize(out, 1.0 / out_scale)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    return kern
+
+
+def _pick_rows_cascade(h: int, e: int, s: int, k: int) -> int:
+    budget = 80 << 20
+    cap = _ROWS_CAP[0]
+    for r in (h, 10, 8, 5, 4, 2, 1):
+        if cap and r > cap:
+            continue
+        if k <= r <= h and h % r == 0 and \
+                (r + 2 * k) * e * (s + 256) * 4 * 13 // 10 <= budget:
+            return r
+    return 0                                  # no legal choice -> no cascade
+
+
+def _cs_cascade(x, params_list, metas, width: int, n: int,
+                interpret: bool = False, out_dtype=None,
+                in_scale=None, out_scale=None):
+    """Chain of same-dims s1 blocks in one pallas_call; None if the
+    geometry has no legal rows choice (caller falls back to per-block)."""
+    hh, cc, s = x.shape
+    e = max(p[0].shape[0] for p in params_list)
+    k = len(metas)
+    r = _pick_rows_cascade(hh, e, s, k)
+    if r == 0:
+        return None
+    kern = _make_cascade_kernel(r, width, n, metas, hh,
+                                in_scale=in_scale, out_scale=out_scale)
+    p_ = params_list[-1][6].shape[0]
+
+    def top(sl):
+        return pl.BlockSpec(
+            (1, cc, s), lambda i, sl=sl: (jnp.maximum(i * r - k + sl, 0),
+                                          0, 0),
+            memory_space=pltpu.VMEM)
+
+    def bot(sl):
+        return pl.BlockSpec(
+            (1, cc, s), lambda i, sl=sl: (jnp.minimum(i * r + r + sl,
+                                                      hh - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    cur = pl.BlockSpec((r, cc, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    flat = [t for p in params_list for t in p]
+    return pl.pallas_call(
+        kern, grid=(hh // r,),
+        in_specs=[top(sl) for sl in range(k)] + [cur]
+                 + [bot(sl) for sl in range(k)] + [full()] * len(flat),
+        out_specs=pl.BlockSpec((r, p_, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hh, p_, s), out_dtype or x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*([x] * (2 * k + 1)), *flat)
+
+
 def _pick_rows_down(h_out: int, e: int, s: int) -> int:
     """Output rows per grid step for the stride-2 kernel: the f32 working
     set holds 2R+1 expand rows."""
@@ -489,34 +613,69 @@ def run_blocks_cs(xc, ir: NetIR, params, run: FusedRun, hh: int, ww: int,
     halving their HBM round-trip where C>=24 (tools/traffic_model.py).
     The run's input and output stay float — graph/build handles edge
     requantization, identical with or without fusion."""
+    import os
     if mid_dtype is None:
-        import os
         mid_dtype = jnp.float32 \
             if os.environ.get("FFCNN_FUSED_STORE", "input") == "f32" \
             else final_dtype
+    # Halo-cascade: merge up to FFCNN_FUSED_CASCADE consecutive s1 blocks
+    # into one launch so their boundary blobs never leave VMEM (default 0
+    # = per-block launches, the measured round-2 configuration).
+    casc = int(os.environ.get("FFCNN_FUSED_CASCADE", "0"))
+    groups: List[List[FusedBlock]] = []
+    for b in run.blocks:
+        if (casc > 1 and not b.down and groups and len(groups[-1]) < casc
+                and not groups[-1][-1].down):
+            groups[-1].append(b)
+        else:
+            groups.append([b])
+    acts_of = lambda b: (ir.layers[b.start].activation,
+                         ir.layers[b.start + 1].activation,
+                         ir.layers[b.start + 2].activation)
     in_scale = None
-    for i, b in enumerate(run.blocks):
-        acts = (ir.layers[b.start].activation,
-                ir.layers[b.start + 1].activation,
-                ir.layers[b.start + 2].activation)
-        last = i == len(run.blocks) - 1
+    for gi, grp in enumerate(groups):
+        last = gi == len(groups) - 1
         out_scale = None
         if not last and quant is not None \
-                and quant.blob_is_int8(b.end + 1):
-            out_scale = float(quant.blob_scale[b.end + 1])
+                and quant.blob_is_int8(grp[-1].end + 1):
+            out_scale = float(quant.blob_scale[grp[-1].end + 1])
         od = (jnp.int8 if out_scale is not None
               else (final_dtype if last else mid_dtype))
-        if b.down:
-            xc = _cs_down_block(xc, _block_params(params, b), acts, ww, n,
-                                interpret=interpret, out_dtype=od,
-                                in_scale=in_scale, out_scale=out_scale)
-            hh, ww = hh // 2, ww // 2
+        b = grp[0]
+        if len(grp) > 1:
+            y = _cs_cascade(xc, [_block_params(params, bb) for bb in grp],
+                            [(acts_of(bb), bb.residual, bb.res_act)
+                             for bb in grp], ww, n, interpret=interpret,
+                            out_dtype=od, in_scale=in_scale,
+                            out_scale=out_scale)
+            if y is not None:
+                xc = y
+                in_scale = out_scale
+                continue
+            # no legal rows choice at this geometry: per-block fallback
+            grp_iter = grp
         else:
-            xc = _cs_block(xc, _block_params(params, b), acts, b.residual,
-                           b.res_act, ww, n, interpret=interpret,
-                           out_dtype=od, in_scale=in_scale,
-                           out_scale=out_scale)
-        in_scale = out_scale
+            grp_iter = grp
+        for k, bb in enumerate(grp_iter):
+            blast = k == len(grp_iter) - 1
+            oscale = out_scale if blast else (
+                float(quant.blob_scale[bb.end + 1])
+                if quant is not None and quant.blob_is_int8(bb.end + 1)
+                else None)
+            bod = (jnp.int8 if oscale is not None
+                   else (od if blast else mid_dtype))
+            if bb.down:
+                xc = _cs_down_block(xc, _block_params(params, bb),
+                                    acts_of(bb), ww, n,
+                                    interpret=interpret, out_dtype=bod,
+                                    in_scale=in_scale, out_scale=oscale)
+                hh, ww = hh // 2, ww // 2
+            else:
+                xc = _cs_block(xc, _block_params(params, bb), acts_of(bb),
+                               bb.residual, bb.res_act, ww, n,
+                               interpret=interpret, out_dtype=bod,
+                               in_scale=in_scale, out_scale=oscale)
+            in_scale = oscale
     return xc, hh, ww
 
 

@@ -52,7 +52,8 @@ NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
 # consumed at Net construction (plan_runs) and so needs a new Net anyway.
 _TRACE_ENV_FLAGS = ("FFCNN_FUSED", "FFCNN_FUSED_HEADS", "FFCNN_FUSED_MEGA",
                     "FFCNN_FUSED_DOTMODE", "FFCNN_FUSED_INTERPRET",
-                    "FFCNN_FUSED_STORE", "FFCNN_CONV0_INT8",
+                    "FFCNN_FUSED_STORE", "FFCNN_FUSED_CASCADE",
+                    "FFCNN_CONV0_INT8",
                     "FFCNN_CONV0_PALLAS", "FFCNN_PLANAR_HEADS",
                     "FFCNN_TOPK_IMPL", "FFCNN_DECODE_IMPL",
                     "FFCNN_NMS_IMPL")

@@ -208,6 +208,46 @@ def test_f32_storage_matches(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cascade_matches_per_block(monkeypatch):
+    """Halo-cascade launches (FFCNN_FUSED_CASCADE>1: several s1 blocks per
+    pallas_call, boundary blobs VMEM-only) vs the per-block path on the
+    flagship 20x20 run, interpret mode."""
+    ir = parse_cfg(REF_CFG, 320, 320)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=7, obj_bias=0.0))[0])
+    run = [r for r in plan_runs(ir) if r.start == 61][0]      # 4 blocks
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 20, 20, 24).astype(np.float32) * 0.5)
+    ref = apply_run(x, ir, params, run, interpret=True)
+    for casc in ("2", "3", "4"):
+        monkeypatch.setenv("FFCNN_FUSED_CASCADE", casc)
+        got = apply_run(x, ir, params, run, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"cascade={casc}")
+    monkeypatch.delenv("FFCNN_FUSED_CASCADE")
+
+
+def test_cascade_region_whole_net(monkeypatch):
+    """Cascade + regions + Pallas stem together: the maximal fused
+    configuration still matches XLA end-to-end (interpret)."""
+    monkeypatch.setenv("FFCNN_FUSED_DOWN", "1")
+    monkeypatch.setenv("FFCNN_FUSED_CASCADE", "3")
+    ir = parse_cfg(REF_CFG, 320, 320)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=13, obj_bias=0.0))[0])
+    runs = plan_runs(ir, min_channels=1)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randint(0, 256, (2, 320, 320, 3)).astype(np.uint8))
+    ref = forward_features(ir, params, x, input_dtype=jnp.float32)
+    got = forward_features(ir, params, x, input_dtype=jnp.float32,
+                           fused_runs=runs, conv0_pallas=True,
+                           fused_interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_fused_int8_interior_boundaries():
     """int8 storage INSIDE a fused run (VERDICT r3 #3): interior block
     boundaries the quant plan marks int8 are stored int8 in the fused

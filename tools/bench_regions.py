@@ -36,6 +36,17 @@ CONFIGS = [
                         "FFCNN_FUSED_STORE": "f32"}),
     ("minc16_f32_nodown", {"FFCNN_FUSED_MINC": "16",
                            "FFCNN_FUSED_STORE": "f32"}),
+    # halo-cascade: several s1 blocks per launch, boundary blobs VMEM-only
+    ("casc3_minc24", {"FFCNN_FUSED_CASCADE": "3"}),
+    ("down_minc8_f32_casc3", {"FFCNN_FUSED_DOWN": "1",
+                              "FFCNN_FUSED_MINC": "8",
+                              "FFCNN_FUSED_STORE": "f32",
+                              "FFCNN_FUSED_CASCADE": "3"}),
+    ("down_minc1_f32_casc3_c0p", {"FFCNN_FUSED_DOWN": "1",
+                                  "FFCNN_FUSED_MINC": "1",
+                                  "FFCNN_FUSED_STORE": "f32",
+                                  "FFCNN_FUSED_CASCADE": "3",
+                                  "FFCNN_CONV0_PALLAS": "1"}),
 ]
 
 
