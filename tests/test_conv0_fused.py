@@ -17,8 +17,8 @@ from ffcnn_tpu.ops.conv import conv2d_fused
 REF_CFG = "/root/reference/yolo-fastest-1.1.cfg"
 
 
-def _flagship(seed=9):
-    ir = parse_cfg(REF_CFG, 320, 320)
+def _flagship(seed=9, size=320):
+    ir = parse_cfg(REF_CFG, size, size)
     params = params_to_pytree(load_weights(
         ir, synth_weights_bytes(ir, seed=seed, obj_bias=0.0))[0])
     return ir, params
@@ -47,12 +47,12 @@ def test_conv0_pallas_whole_net_matches(monkeypatch):
     monkeypatch.setenv("FFCNN_FUSED_DOWN", "1")
     from ffcnn_tpu.kernels.block_fused import plan_runs
 
-    ir, params = _flagship(seed=11)
+    ir, params = _flagship(seed=11, size=160)
     runs = plan_runs(ir, min_channels=1)
     assert any(r.start == 1 for r in runs)
 
     rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randint(0, 256, (2, 320, 320, 3)).astype(np.uint8))
+    x = jnp.asarray(rng.randint(0, 256, (2, 160, 160, 3)).astype(np.uint8))
     ref = forward_features(ir, params, x, input_dtype=jnp.float32)
     got = forward_features(ir, params, x, input_dtype=jnp.float32,
                            fused_runs=runs, conv0_pallas=True,
@@ -67,10 +67,10 @@ def test_conv0_pallas_guard_without_region():
     run starts at layer 1 (the default C>=24 planning)."""
     from ffcnn_tpu.kernels.block_fused import plan_runs
 
-    ir, params = _flagship(seed=12)
+    ir, params = _flagship(seed=12, size=160)
     runs = plan_runs(ir)                       # default: runs start at 61+
     rng = np.random.RandomState(2)
-    x = jnp.asarray(rng.randint(0, 256, (2, 320, 320, 3)).astype(np.uint8))
+    x = jnp.asarray(rng.randint(0, 256, (2, 160, 160, 3)).astype(np.uint8))
     ref = forward_features(ir, params, x, input_dtype=jnp.float32)
     got = forward_features(ir, params, x, input_dtype=jnp.float32,
                            fused_runs=runs, conv0_pallas=True,

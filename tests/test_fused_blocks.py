@@ -171,7 +171,7 @@ def test_region_runs_span_stages(monkeypatch):
     transitions — the flagship backbone collapses into a few whole-region
     runs, and the fused forward still matches XLA (interpret mode)."""
     monkeypatch.setenv("FFCNN_FUSED_DOWN", "1")
-    ir = parse_cfg(REF_CFG, 320, 320)
+    ir = parse_cfg(REF_CFG, 160, 160)        # test-sized interpret cost
     runs = plan_runs(ir, min_channels=1)
     # the whole backbone collapses to TWO regions: L1..L80 (15 residual
     # blocks + 3 stage transitions) and L81..L108 (the L81 down block
@@ -183,7 +183,7 @@ def test_region_runs_span_stages(monkeypatch):
     params = params_to_pytree(load_weights(
         ir, synth_weights_bytes(ir, seed=6, obj_bias=0.0))[0])
     rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    x = jnp.asarray(rng.rand(2, 160, 160, 3).astype(np.float32))
     ref = forward_features(ir, params, x)
     got = forward_features(ir, params, x, fused_runs=runs,
                            fused_interpret=True)
@@ -233,12 +233,12 @@ def test_cascade_region_whole_net(monkeypatch):
     configuration still matches XLA end-to-end (interpret)."""
     monkeypatch.setenv("FFCNN_FUSED_DOWN", "1")
     monkeypatch.setenv("FFCNN_FUSED_CASCADE", "3")
-    ir = parse_cfg(REF_CFG, 320, 320)
+    ir = parse_cfg(REF_CFG, 160, 160)        # test-sized interpret cost
     params = params_to_pytree(load_weights(
         ir, synth_weights_bytes(ir, seed=13, obj_bias=0.0))[0])
     runs = plan_runs(ir, min_channels=1)
     rng = np.random.RandomState(8)
-    x = jnp.asarray(rng.randint(0, 256, (2, 320, 320, 3)).astype(np.uint8))
+    x = jnp.asarray(rng.randint(0, 256, (2, 160, 160, 3)).astype(np.uint8))
     ref = forward_features(ir, params, x, input_dtype=jnp.float32)
     got = forward_features(ir, params, x, input_dtype=jnp.float32,
                            fused_runs=runs, conv0_pallas=True,

@@ -259,6 +259,43 @@ def test_dp_shard_map_runs_single_chip_pipeline(ref_cfg, ref_weights,
     assert int(w_count.sum()) >= 8
 
 
+def test_dp_shard_map_maximal_fused_config(ref_cfg, ref_weights,
+                                           monkeypatch):
+    """The maximal fused configuration — whole-backbone regions, halo
+    cascades, f32 storage, Pallas stem — under shard_map DP equals the
+    same single-chip pipeline per image (fast mode, interpret kernels)."""
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.imageio.bmp import bmp_load
+    from ffcnn_tpu.parallel import build_dp_pipeline, make_mesh
+    import conftest
+
+    monkeypatch.setenv("FFCNN_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("FFCNN_FUSED_DOWN", "1")
+    monkeypatch.setenv("FFCNN_FUSED_MINC", "1")
+    monkeypatch.setenv("FFCNN_FUSED_STORE", "f32")
+    monkeypatch.setenv("FFCNN_FUSED_CASCADE", "3")
+    monkeypatch.setenv("FFCNN_CONV0_PALLAS", "1")
+
+    img = bmp_load(conftest.fixture_path("test320.bmp"))
+    # 160x160 net input keeps interpret-mode cost test-sized; the region
+    # planner still spans the whole backbone at this geometry.
+    net = Net.load(ref_cfg, ref_weights, 160, 160, mode="fast")
+    assert any(r.start == 1 for r in net._fused_runs)
+
+    batch = np.broadcast_to(img, (8,) + img.shape).copy()
+    batch[4:] = batch[4:][:, :, ::-1]              # half flipped
+
+    want = [net.detect_device(batch[i:i + 1]) for i in range(8)]
+    fn = build_dp_pipeline(net, make_mesh(), img.shape[0], img.shape[1])
+    got = fn(jnp.asarray(batch))
+
+    w_count = np.concatenate([np.asarray(w.count) for w in want])
+    w_scores = np.concatenate([np.asarray(w.scores) for w in want])
+    np.testing.assert_array_equal(np.asarray(got.count), w_count)
+    np.testing.assert_allclose(np.asarray(got.scores), w_scores, atol=1e-6)
+    assert int(w_count.sum()) >= 8                 # real detections
+
+
 def test_dp_pipeline_rejects_tp_sp_mesh(ref_cfg, ref_weights):
     from ffcnn_tpu import Net
     from ffcnn_tpu.parallel import build_dp_pipeline, make_mesh
