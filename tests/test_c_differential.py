@@ -29,7 +29,16 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="session")
 def c_binary():
+    """The published default build (conv-v6)."""
     return cd.build_reference("v6")
+
+
+@pytest.fixture(scope="session")
+def c_binary_v0():
+    """The reference's own correctness oracle (conv-v0, naive direct
+    conv) — free of the v6 dw5x5 row-oh-2 bug (tools/c_differential.py
+    'acceptance' notes)."""
+    return cd.build_reference("v0")
 
 
 @pytest.fixture(scope="session")
@@ -51,22 +60,87 @@ def test_reference_binary_reproduces_golden(c_binary):
     ]
 
 
-def test_flagship_corpus_differential(c_binary, corpus):
-    """Real trained weights, ~50 diverse images, 5 input geometries: every
-    image must agree with the C binary on box count and classes with all
-    boxes fuzzy-matched (<=0.03 score, <=6 px), and >=70% of images must be
-    line-for-line exact (observed: ~77-87% exact; the rest are f32
-    int-cast knife edges)."""
+def test_flagship_corpus_differential_v0_exact(c_binary_v0, corpus):
+    """Real trained weights, ~50 diverse images, 4 input geometries,
+    against the reference's own correctness oracle (conv-v0): every image
+    LINE-FOR-LINE exact.  (The v6 default build deviates from its own v0
+    through the dw5x5 row-oh-2 bug; our pipeline matches the correct
+    kernel bit-for-bit at print precision.)"""
     n = sum(len(v) for v in corpus.values())
     assert n >= 45, f"corpus unexpectedly small: {n}"
-    res = cd.diff_flagship(c_binary, corpus)
+    res = cd.diff_flagship(c_binary_v0, corpus)
     assert res.total == n
-    assert cd.flagship_ok(res), "\n" + res.report("flagship", verbose=True)
+    assert cd.flagship_ok(res, "v0"), \
+        "\n" + res.report("flagship vs v0", verbose=True)
 
 
+def test_flagship_corpus_differential_v6(c_binary, corpus):
+    """Against the published default build (conv-v6): counts and classes
+    exact everywhere, all boxes fuzzy-matched, >=70% of images line-exact
+    — the slack absorbs exactly the v6 dw5x5 bug's perturbations."""
+    res = cd.diff_flagship(c_binary, corpus)
+    assert cd.flagship_ok(res, "v6"), \
+        "\n" + res.report("flagship vs v6", verbose=True)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+def test_random_graph_c_differential(c_binary_v0, seed, tmp_path):
+    """Differential fuzzing against the C BINARY itself: random valid
+    darknet graphs (C-dialect activations only) + synthesized weights run
+    through both implementations.  Structural diversity the fixed zoo
+    can't give — incl. graphs whose heads overflow the bbox arena, so the
+    replicated overflow cutoff is exercised against the reference too."""
+    import numpy as np
+
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.ir import LayerType
+    from ffcnn_tpu.darknet.weights import synth_weights_bytes
+    from ffcnn_tpu.imageio.bmp import bmp_save
+    from test_random_graphs import SIZE, _gen_cfg
+
+    rng = np.random.RandomState(seed)
+    cfg_text = _gen_cfg(rng, acts=("linear", "leaky", "relu"),
+                        c_safe=True)
+    cfg = str(tmp_path / "rand.cfg")
+    with open(cfg, "w") as f:
+        f.write(cfg_text)
+    ir = parse_cfg(cfg, SIZE, SIZE)
+    wpath = str(tmp_path / "rand.weights")
+    with open(wpath, "wb") as f:
+        f.write(synth_weights_bytes(ir, seed=seed, obj_bias=1.5))
+
+    paths = []
+    for i in range(2):
+        img = rng.randint(0, 256, (SIZE, SIZE, 3)).astype(np.uint8)
+        p = str(tmp_path / f"img{i}.bmp")
+        bmp_save(p, img)
+        paths.append(p)
+    m_total = sum(3 * ir.blobs[li].w * ir.blobs[li].h
+                  for li, l in enumerate(ir.layers)
+                  if l.type == LayerType.YOLO)
+    res = cd.DiffResult()
+    tpu_lines = cd.run_tpu_batch(cfg, wpath, paths, topk=max(m_total, 16))
+    for p, tl in zip(paths, tpu_lines):
+        cl = cd.run_c(c_binary_v0, p, cfg, wpath)
+        res.record(os.path.basename(p), cl, tl)
+    # Synthetic random weights produce near-UNIFORM confidence fields, so
+    # greedy-NMS survivor identity rides libc-qsort tie order — box sets
+    # can differ structurally while the forwards are identical (verified:
+    # per-layer |activation| sums match C to full f32 print precision on
+    # the divergent seeds; the zoo + flagship corpus pin NMS itself).
+    # Gate on high fuzzy overlap + bounded count skew.
+    nmax = max((max(i[1], i[2]) for i in res.images), default=0)
+    assert res.fuzzy_fraction >= 0.8, "\n" + res.report(f"rand{seed}",
+                                                        verbose=True)
+    assert res.max_count_skew <= max(3, int(0.15 * nmax)), \
+        "\n" + res.report(f"rand{seed}", verbose=True)
+
+
+@pytest.mark.parametrize("variant", ["v0", "v6"])
 @pytest.mark.parametrize("family", sorted(dict(cd.C_DIALECT_ZOO,
                                                **cd.C_VARIANT_ZOO)))
-def test_zoo_family_differential(c_binary, family, tmp_path):
+def test_zoo_family_differential(c_binary, c_binary_v0, family, variant,
+                                 tmp_path):
     """Each C-dialect zoo family (plus the leaky-rewrite variants of the
     mish families) runs the SAME synthesized weights through the C binary
     and the parity pipeline.  yolov4-tiny is excluded by construction: its
@@ -74,6 +148,8 @@ def test_zoo_family_differential(c_binary, family, tmp_path):
     parser has no such keys, so one cfg/weights pair would describe two
     different architectures (models/README.md)."""
     size = dict(cd.C_DIALECT_ZOO, **cd.C_VARIANT_ZOO)[family]
-    results = cd.diff_zoo(c_binary, str(tmp_path), families={family: size})
+    binary = c_binary_v0 if variant == "v0" else c_binary
+    results = cd.diff_zoo(binary, str(tmp_path), families={family: size})
     res = results[family]
-    assert cd.zoo_ok(family, res), "\n" + res.report(family, verbose=True)
+    assert cd.zoo_ok(family, res, variant), \
+        "\n" + res.report(f"{family} vs {variant}", verbose=True)

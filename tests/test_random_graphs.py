@@ -16,11 +16,21 @@ SIZE = 64
 ACTS = ("linear", "leaky", "relu", "mish")
 
 
-def _gen_cfg(rng: np.random.RandomState) -> str:
+def _gen_cfg(rng: np.random.RandomState, acts=ACTS,
+             c_safe: bool = False) -> str:
     """Random valid darknet graph: conv (dense/depthwise/strided), pools,
-    upsample, dropout, shortcut, route, one yolo head."""
+    upsample, dropout, shortcut, route, one yolo head.
+
+    ``c_safe``: keep the graph runnable by the C REFERENCE binary too
+    (tests/test_c_differential.py): route/shortcut never reference either
+    side of a dropout's zero-copy blob alias — the reference's refcount
+    walk double-frees the shared pointer and SEGFAULTS on such graphs
+    (ffcnn.c:412-416 dropout aliasing + 511-517 frees; found by the
+    differential fuzzer, minimal repro: conv, dropout, route[-2, 1]).
+    This framework handles those graphs fine (blobs are SSA values)."""
     lines = ["[net]", f"width={SIZE}", f"height={SIZE}", "channels=3", ""]
     shapes = []                       # output shape of layer i
+    unsafe = set()                    # dropout alias pairs (c_safe)
     h = w = SIZE // 2
     c = int(rng.choice([4, 8]))
     lines += ["[convolutional]", "batch_normalize=1", f"filters={c}",
@@ -35,7 +45,7 @@ def _gen_cfg(rng: np.random.RandomState) -> str:
             fn = int(rng.choice([4, 6, 8, 12, 16]))
             fs = int(rng.choice([1, 3]))
             stride = 2 if (fs == 3 and h >= 16 and rng.rand() < 0.3) else 1
-            act = str(rng.choice(ACTS))
+            act = str(rng.choice(acts))
             bn = int(rng.rand() < 0.8)
             lines += ["[convolutional]"] + (["batch_normalize=1"] if bn
                                             else [])
@@ -49,7 +59,7 @@ def _gen_cfg(rng: np.random.RandomState) -> str:
             lines += ["[convolutional]", "batch_normalize=1",
                       f"filters={c}", f"size={fs}", "stride=1",
                       f"groups={c}", "pad=1",
-                      f"activation={rng.choice(ACTS)}", ""]
+                      f"activation={rng.choice(acts)}", ""]
         elif op == "maxpool":
             stride = 2 if (h >= 16 and rng.rand() < 0.5) else 1
             lines += ["[maxpool]", "size=3", f"stride={stride}", ""]
@@ -62,25 +72,31 @@ def _gen_cfg(rng: np.random.RandomState) -> str:
             h, w = h * 2, w * 2
         elif op == "dropout":
             lines += ["[dropout]", "probability=.3", ""]
+            if c_safe:
+                unsafe.update({len(shapes) - 1, len(shapes)})
         elif op == "shortcut":
             # earlier layer with the CURRENT shape (relative index)
             cands = [i for i, s in enumerate(shapes[:-1])
-                     if s == (h, w, c)]
+                     if s == (h, w, c) and i not in unsafe]
             if not cands:
                 continue
             frm = int(rng.choice(cands)) - len(shapes)      # negative
             lines += ["[shortcut]", f"from={frm}",
-                      f"activation={rng.choice(ACTS)}", ""]
+                      f"activation={rng.choice(acts)}", ""]
         elif op == "route":
             cands = [i for i, s in enumerate(shapes)
-                     if s[0] == h and s[1] == w]
+                     if s[0] == h and s[1] == w and i not in unsafe]
             if not cands:
                 continue
             picks = [int(x) for x in
                      rng.choice(cands, rng.randint(1, min(3, len(cands)) + 1),
                                 replace=False)]
+            # index 0 would parse as RELATIVE (<=0 rule, ffcnn.c:179);
+            # emit layer 0 as its negative relative form instead
+            cur = len(shapes)
             lines += ["[route]",
-                      "layers = " + ", ".join(str(p) for p in picks), ""]
+                      "layers = " + ", ".join(
+                          str(p if p > 0 else p - cur) for p in picks), ""]
             c = sum(shapes[p][2] for p in picks)
         else:
             continue

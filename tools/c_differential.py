@@ -443,42 +443,65 @@ def diff_zoo(binary: str, work_dir: str, families=None,
 
 
 # ------------------------------------------------------------- acceptance
-def flagship_ok(res: DiffResult) -> bool:
-    """Real-weight corpus: every image must agree on count+class with all
-    boxes fuzzy-matched, and >=70% of images must be line-for-line exact
-    (observed: 77-87% exact; the rest are f32 knife edges)."""
+# TWO reference builds serve as two different oracles:
+#
+#   * conv-v0 — the reference's own naive kernel, its declared correctness
+#     oracle (SURVEY: conv-v0's role).  Against v0, this framework is
+#     LINE-EXACT on the full real-weight corpus (48/48) and on most zoo
+#     families; policies are strict.
+#   * conv-v6 — the published default build.  Its dw5x5 fast path DROPS
+#     the y-2 tap row when computing output row oh-2
+#     (conv-v6.c:422-441: the "Row y=oh-2" handler reads rm1/r0/rp1 but
+#     never row yc-2, whose weights wt[0..4] are simply lost), so every
+#     model with 5x5 depthwise convs diverges slightly from its own v0 —
+#     found by this harness (zoo XL: 81% fuzzy vs v6, 100% exact vs v0;
+#     flagship: 37/48 exact vs v6, 48/48 vs v0).  Policies against v6
+#     carry the corresponding slack.
+#
+# A second reference bug found here (excluded from generated graphs via
+# _gen_cfg(c_safe=True)): a route/shortcut referencing BOTH sides of a
+# dropout's zero-copy blob alias makes the refcount walk double-free the
+# shared pointer and SEGFAULT (ffcnn.c:412-416 aliasing + 511-517 frees;
+# minimal repro: conv, dropout, route[-2, 1]).
+
+def flagship_ok(res: DiffResult, variant: str = "v6") -> bool:
+    """Real-weight corpus.  vs conv-v0: every image line-for-line exact.
+    vs conv-v6: counts+classes exact and all boxes fuzzy-matched (the
+    slack absorbs exactly the v6 dw5x5 bug's row-oh-2 perturbations),
+    >=70% of images line-exact."""
+    if variant == "v0":
+        return res.total > 0 and res.exact == res.total
     return (res.total > 0 and res.max_count_skew == 0
             and res.fuzzy_fraction == 1.0
             and res.exact >= 0.7 * res.total)
 
 
-# Synthetic-weight zoo: per-family minimum (exactness degrades with depth —
-# f32 accumulation-order wiggle amplifies across 100+ layers of random
-# weights, and near-tied candidate fields make greedy-NMS survivor identity
-# knife-edge; see DiffResult docstring).  (min_set_equal_frac, min_fuzzy).
-ZOO_POLICY = {
+# (min_set_equal_frac, min_fuzzy) per family and reference build.
+# Residual non-exactness vs v0 has two honest sources: libc qsort tie
+# instability on score-tied synthetic candidates (set-equal absorbs it)
+# and bbox-arena knife edges when a family overflows the 2,048-slot arena
+# (ffcnn-micro: one threshold flip shifts the whole tail's membership).
+ZOO_POLICY_V0 = {
     "yolov3-tiny": (1.0, 1.0),
-    # micro's heads overflow the bbox arena (3,264 candidates vs 2,048
-    # capacity), and the replicated first-come cutoff (apply_arena_cap) is
-    # knife-edge by construction: ONE threshold flip upstream shifts which
-    # tail candidates fit, so a cascade of tail boxes can differ on some
-    # frames.  Typically 2/3 images are line-exact anyway.
+    "yolo-fastest-xl": (1.0, 1.0),
+    "yolov4-tiny": (1.0, 1.0),
+    "yolov3": (1.0, 1.0),
+    "yolov4": (0.6, 0.99),
+    "ffcnn-micro": (0.6, 0.90),
+}
+ZOO_POLICY_V6 = {
+    "yolov3-tiny": (1.0, 1.0),
     "ffcnn-micro": (0.6, 0.90),
     "yolov3": (1.0, 1.0),
     "yolov4-tiny": (0.0, 0.90),
-    # ~110 synthetic layers of accumulated f32 wiggle + a near-tied
-    # candidate field: greedy-NMS survivor identity is knife-edge, so a
-    # minority of survivors differ structurally (measured 81% matched,
-    # counts within 7/170).  Graph semantics for this family are pinned by
-    # the flagship (same blocks, real weights, 100% fuzzy / equal counts)
-    # and by the float64 oracle (tests/test_model_zoo.py).
-    "yolo-fastest-xl": (0.0, 0.75),
+    "yolo-fastest-xl": (0.0, 0.75),     # the dw5x5 bug's slack
     "yolov4": (0.0, 0.85),
 }
 
 
-def zoo_ok(name: str, res: DiffResult) -> bool:
-    min_set, min_fuzzy = ZOO_POLICY.get(name, (0.0, 0.85))
+def zoo_ok(name: str, res: DiffResult, variant: str = "v6") -> bool:
+    table = ZOO_POLICY_V0 if variant == "v0" else ZOO_POLICY_V6
+    min_set, min_fuzzy = table.get(name, (0.0, 0.85))
     return (res.total > 0
             and res.set_equal >= min_set * res.total
             and res.fuzzy_fraction >= min_fuzzy)
@@ -490,28 +513,36 @@ def main(argv=None) -> int:
     ap.add_argument("--images", type=int, default=0,
                     help="cap the flagship corpus size (0 = all)")
     ap.add_argument("--work-dir", default="/tmp/ffcnn_differential")
-    ap.add_argument("--variant", default="v6")
+    ap.add_argument("--variants", nargs="*", default=["v0", "v6"],
+                    help="reference builds to diff against (v0 = the "
+                         "reference's own correctness oracle, strict; "
+                         "v6 = published default, carries its dw5x5-bug "
+                         "slack)")
     ap.add_argument("--skip-zoo", action="store_true")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     force_cpu_backend()
-    binary = build_reference(args.variant)
     corpus = generate_corpus(os.path.join(args.work_dir, "corpus"),
                              args.images)
     n = sum(len(v) for v in corpus.values())
-    print(f"corpus: {n} images across {len(corpus)} geometries; "
-          f"C binary: {binary}")
-    res = diff_flagship(binary, corpus)
-    print(res.report("flagship yolo-fastest-1.1", args.verbose))
-    rc = 0 if flagship_ok(res) else 1
-    if not args.skip_zoo:
-        for name, zres in diff_zoo(binary,
-                                   os.path.join(args.work_dir, "zoo")).items():
-            ok = zoo_ok(name, zres)
-            print(zres.report(f"zoo {name} (synth weights)", args.verbose)
-                  + ("" if ok else "  <-- POLICY FAIL"))
-            rc = rc if ok else 1
+    print(f"corpus: {n} images across {len(corpus)} geometries")
+    rc = 0
+    for variant in args.variants:
+        binary = build_reference(variant)
+        res = diff_flagship(binary, corpus)
+        ok = flagship_ok(res, variant)
+        print(res.report(f"flagship vs {variant}", args.verbose)
+              + ("" if ok else "  <-- POLICY FAIL"))
+        rc = rc if ok else 1
+        if not args.skip_zoo:
+            for name, zres in diff_zoo(
+                    binary, os.path.join(args.work_dir,
+                                         f"zoo_{variant}")).items():
+                ok = zoo_ok(name, zres, variant)
+                print(zres.report(f"zoo {name} vs {variant}", args.verbose)
+                      + ("" if ok else "  <-- POLICY FAIL"))
+                rc = rc if ok else 1
     return rc
 
 
