@@ -14,6 +14,15 @@ reproduces the reference's observable numerics, including its quirks:
   * top-left-anchored nearest letterbox with integer scale math
     (ffcnn.c:259-289)
 
+Anchored to the living reference, not just the source text: the
+differential harness (tools/c_differential.py) runs this oracle's
+semantics against the compiled conv-v0 binary — the reference's own
+correctness oracle — with line-for-line agreement on the full
+real-weight corpus, the model zoo, and random fuzz graphs (per-layer
+|activation| sums match to f32 print precision).  Where the oracle
+disagrees with the DEFAULT conv-v6 build, the reference itself is wrong
+(the dw5x5 row-oh-2 bug, models/README.md).
+
 Layout convention here is (H, W, C); the reference uses planar (C, H, W) but
 the semantics are layout-independent.
 """
