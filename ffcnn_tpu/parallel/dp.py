@@ -179,3 +179,68 @@ def build_dp_pipeline(net, mesh: Mesh, img_h: int, img_w: int, *,
     smapped = shard_map(fn, mesh=mesh, in_specs=(P(DATA_AXIS),),
                         out_specs=P(DATA_AXIS), **kw)
     return jax.jit(smapped)
+
+
+class DPNet:
+    """Net-shaped facade that drives a whole pure-DP mesh from one
+    endpoint: ``detect(batch)`` pads the batch to a multiple of the data
+    axis and dispatches ONE :func:`build_dp_pipeline` program — every
+    local chip runs the single-chip pipeline on its shard.  Drop-in for
+    ``serve.DetectorService`` (``serve --dp``), so one HTTP worker can
+    own all the host's chips instead of one process per chip."""
+
+    def __init__(self, net, mesh: Mesh = None):
+        from .mesh import make_mesh
+        self.net = net
+        self.ir = net.ir                  # serving probe-size discovery
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ndata = self.mesh.shape[DATA_AXIS]
+        self._fns = {}
+
+    def _fn(self, img_h: int, img_w: int):
+        key = (img_h, img_w)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = build_dp_pipeline(self.net, self.mesh, img_h, img_w)
+            self._fns[key] = fn
+        return fn
+
+    def detect(self, images):
+        import warnings
+
+        import numpy as np
+
+        from ..net import Net
+
+        batch = np.asarray(images)
+        single = batch.ndim == 3
+        if single:
+            batch = batch[None]
+        n, h, w, _ = batch.shape
+        m = -(-n // self.ndata) * self.ndata
+        if m != n:
+            batch = np.concatenate(
+                [batch, np.zeros((m - n,) + batch.shape[1:], batch.dtype)])
+        res = self._fn(h, w)(jnp.asarray(batch))
+        if bool(np.asarray(res.saturated)[:n].any()):
+            warnings.warn(
+                "NMS top-k saturated: some candidates were dropped "
+                "pre-suppression; raise the net's topk for crowded "
+                "scenes.", RuntimeWarning, stacklevel=2)
+        out = Net._to_detections(res)[:n]
+        return out[0] if single else out
+
+    def warmup(self, image_sizes=None, batch_sizes=None) -> None:
+        import numpy as np
+        net_w = self.net.ir.blobs[0].w
+        net_h = self.net.ir.blobs[0].h
+        for (h, w) in (image_sizes or [(net_h, net_w)]):
+            for nb in (batch_sizes or [self.ndata]):
+                m = max(-(-nb // self.ndata) * self.ndata, self.ndata)
+                jax.block_until_ready(
+                    self._fn(h, w)(jnp.zeros((m, h, w, 3), jnp.uint8)))
+
+    def dump(self) -> str:
+        return (self.net.dump()
+                + f"dp mesh: {dict(self.mesh.shape)} "
+                f"({self.ndata}-way data parallel)\n")

@@ -299,6 +299,12 @@ def main(argv=None) -> int:
                          "instead of cfg/weights — the worker needs no "
                          "model files and builds no graph; export buckets "
                          "1,2,4,... up to the wanted max batch")
+    ap.add_argument("--dp", action="store_true",
+                    help="drive ALL local chips from this one worker: "
+                         "requests are micro-batched as usual, then the "
+                         "batch is sharded over the data-axis mesh and "
+                         "every chip runs the single-chip pipeline on its "
+                         "shard (parallel/dp.py::DPNet)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--cache-dir", default=None)
@@ -332,6 +338,9 @@ def main(argv=None) -> int:
         else:
             ap.error("--mode int8 requires --calib <frame.bmp> [...] "
                      "or an existing --quant-plan")
+    if args.dp:
+        from .parallel import DPNet
+        net = DPNet(net)
     service = DetectorService(net)
     server = make_server(service, args.host, args.port)
     threading.Thread(target=service.warmup, daemon=True).start()

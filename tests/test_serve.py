@@ -270,3 +270,48 @@ def test_detect_rejects_oversized_body(server):
         assert resp.status == 413
     finally:
         conn.close()
+
+
+def test_dp_serving_end_to_end():
+    """serve --dp topology: one DetectorService drives the whole 8-device
+    mesh through DPNet — same detections as the single-device Net, served
+    over HTTP with health gating."""
+    from ffcnn_tpu.imageio.bmp import bmp_save
+    from ffcnn_tpu.parallel import DPNet
+
+    ir = parse_cfg(MICRO)
+    params, _ = load_weights(ir, synth_weights_bytes(ir, seed=9,
+                                                     obj_bias=2.0))
+    # topk = the model's full candidate capacity so the fixed-K DP
+    # program never saturates (DPNet, like ArtifactNet, warns
+    # instead of retrying — the K is sealed into the mesh program)
+    net = Net(ir, params, mode="parity", topk=2048)
+    dpnet = DPNet(net)
+    assert dpnet.ndata == 8
+    assert "8-way data parallel" in dpnet.dump()
+
+    rng = np.random.RandomState(2)
+    size = ir.blobs[0].w
+    img = rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+    want = net.detect(img)
+    got = dpnet.detect(img)                    # pads 1 -> 8, single image
+    assert [repr(d) for d in got] == [repr(d) for d in want]
+
+    service = DetectorService(dpnet, max_batch=16)
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        service.warmup()
+        assert service.ready
+        buf = io.BytesIO()
+        p = "/tmp/dp_req.bmp"
+        bmp_save(p, img)
+        req = urllib.request.Request(_url(srv, "/detect"),
+                                     data=open(p, "rb").read(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            dets = json.loads(r.read())["detections"]
+        assert len(dets) == len(want)
+    finally:
+        srv.shutdown()
