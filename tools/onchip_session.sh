@@ -1,0 +1,32 @@
+#!/bin/sh
+# The round-3 on-chip measurement queue (docs/ROADMAP.md), unattended.
+# Run when the axon tunnel recovers:   sh tools/onchip_session.sh
+# Logs land in /tmp/onchip/.  Each stage is independently time-bounded;
+# a wedge in one stage doesn't kill the rest (fresh child processes).
+set -x
+PY=/opt/venv/bin/python
+OUT=/tmp/onchip
+mkdir -p $OUT
+cd "$(dirname "$0")/.."
+
+# 0. health gate (retries up to 30 min)
+timeout 2100 $PY tools/tpu_health.py --wait 30 > $OUT/health.log 2>&1 || exit 1
+
+# 1. VMEM boundary sweep (ADVICE r2 #5 validate branch)
+timeout 4000 $PY tools/validate_rows.py -o $OUT/rows.jsonl > $OUT/rows.log 2>&1
+
+# 2. fused-region config matrix (VERDICT r3 #1)
+timeout 14000 $PY tools/bench_regions.py -o $OUT/regions.jsonl > $OUT/regions.log 2>&1
+
+# 3. int8 A/B (VERDICT r3 #3): plain, minc24 (fused interior boundaries)
+MODE=int8 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc32.json 2>$OUT/int8_minc32.err
+MODE=int8 FFCNN_INT8_MINC=24 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24.json 2>$OUT/int8_minc24.err
+MODE=int8 FFCNN_INT8_MINC=24 FFCNN_FUSED_CASCADE=3 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24_casc3.json 2>$OUT/int8_minc24_casc3.err
+
+# 4. bubble attribution (VERDICT r3 #6)
+timeout 1800 $PY tools/trace_gaps.py --batch 256 --iters 10 > $OUT/gaps.log 2>&1
+
+# 5. headline bench with current defaults (sanity + cache warm)
+timeout 5400 $PY bench.py > $OUT/bench.json 2>$OUT/bench.log
+
+echo DONE
