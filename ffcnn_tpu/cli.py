@@ -182,6 +182,13 @@ _JIT_COMMANDS = {"detect", "bench", "profile", "batch", "export"}
 
 
 def main(argv=None) -> int:
+    # The axon TPU plugin in this image ignores a JAX_PLATFORMS that was
+    # already set at process spawn (it initializes the tunnel client anyway,
+    # which HANGS when the tunnel is down); the config knob always wins —
+    # same workaround as tests/conftest.py.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser(prog="ffcnn", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -40,8 +40,11 @@ def _make_kernel(rows: int, width: int, n: int, act: int):
 
     def kern(xt, xc, wm, s, b, o_ref):
         h = pl.program_id(0)
-        # (N, 2R+1, W, 3) f32 -> (2R+1, 3, W*N): batch to lanes, once.
+        # Blocks arrive as (N, rows, W*3) u8 — last dim DENSE on lanes
+        # (a (…, W, 3) block would lane-pad 3->128: 42x VMEM + DMA).
+        # One relayout to (2R+1, 3, W*N): batch to lanes, once.
         x = jnp.concatenate([xt[...], xc[...]], axis=1).astype(jnp.float32)
+        x = x.reshape(N, 2 * R + 1, W, 3)
         xt_ = jnp.transpose(x, (1, 3, 2, 0)).reshape(2 * R + 1, 3, W * N)
         planes = []
         for i in range(2 * R + 1):
@@ -64,9 +67,10 @@ def _make_kernel(rows: int, width: int, n: int, act: int):
 
 
 def _pick_rows(h_out: int, n: int, w: int) -> int:
-    """f32 row block + its transposed copy must fit comfortably in VMEM."""
+    """VMEM per grid step: the u8 input block (dense lanes) + the f32 cast
+    copy + the transposed f32 planes (~9 bytes/pixel-channel total)."""
     budget = 60 << 20
-    per_row = n * w * 3 * 4 * 2
+    per_row = n * w * 3 * 9
     for r in (16, 10, 8, 5, 4, 2, 1):
         if r <= h_out and h_out % r == 0 and (2 * r + 1) * per_row <= budget:
             return r
@@ -89,10 +93,13 @@ def conv0_cs(x, w, scale, bias, act: int, *, out_dtype=jnp.bfloat16,
     s = jnp.asarray(scale, jnp.float32)[:, None]
     b = jnp.asarray(bias, jnp.float32)[:, None]
     kern = _make_kernel(r, ww, n, act)
-    top = pl.BlockSpec((n, 1, ww, ci),
-                       lambda i: (0, jnp.maximum(i * 2 * r - 1, 0), 0, 0),
+    # Flatten (W, 3) -> W*3 so the VMEM blocks' lane dim is dense (contiguous
+    # minor dims; at most a cheap u8 relayout in XLA-land).
+    x3 = x.reshape(n, hh, ww * ci)
+    top = pl.BlockSpec((n, 1, ww * ci),
+                       lambda i: (0, jnp.maximum(i * 2 * r - 1, 0), 0),
                        memory_space=pltpu.VMEM)
-    cur = pl.BlockSpec((n, 2 * r, ww, ci), lambda i: (0, i, 0, 0),
+    cur = pl.BlockSpec((n, 2 * r, ww * ci), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -104,4 +111,4 @@ def conv0_cs(x, w, scale, bias, act: int, *, out_dtype=jnp.bfloat16,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, wm, s, b)
+    )(x3, x3, wm, s, b)
