@@ -68,10 +68,16 @@ def _make_kernel(rows: int, width: int, n: int, act: int):
 
 def _pick_rows(h_out: int, n: int, w: int) -> int:
     """VMEM per grid step: the u8 input block (dense lanes) + the f32 cast
-    copy + the transposed f32 planes (~9 bytes/pixel-channel total)."""
+    copy + the transposed f32 planes (~9 bytes/pixel-channel total).
+    Honors the global rows cap (block_fused._ROWS_CAP) so the net-level
+    VMEM-overflow retry also shrinks the stem's grid steps."""
+    from .block_fused import _ROWS_CAP
     budget = 60 << 20
     per_row = n * w * 3 * 9
+    cap = _ROWS_CAP[0]
     for r in (16, 10, 8, 5, 4, 2, 1):
+        if cap and r > cap:
+            continue
         if r <= h_out and h_out % r == 0 and (2 * r + 1) * per_row <= budget:
             return r
     return 1

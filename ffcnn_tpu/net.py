@@ -456,9 +456,14 @@ class Net:
                 # A fused-kernel geometry whose VMEM estimate was wrong
                 # fails at COMPILE time; lower the global rows-per-step cap
                 # and re-trace instead of dying (kernels/block_fused.py,
-                # ADVICE r2).  Anything else propagates.
+                # ADVICE r2).  Anything else propagates — in particular,
+                # buckets that never traced the fused kernels (batch not a
+                # lane-quantum multiple / non-TPU) must not burn recompiles
+                # walking the cap ladder on an unrelated OOM.
                 from .kernels import block_fused
-                if not (self._fused_runs and "vmem" in str(e).lower()
+                if not (self._fused_runs
+                        and block_fused.runs_usable(n)
+                        and "vmem" in str(e).lower()
                         and block_fused.reduce_rows_cap()):
                     raise
                 self._pipelines.clear()
