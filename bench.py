@@ -265,6 +265,15 @@ def supervise():
 
 
 def main():
+    # Persistent XLA compile cache: the bench child compiles ~10 full-net
+    # buckets (parity 320 + 640x448, int8, fast/int8 batch sweep, demo
+    # geometry, batch-1); through a DEGRADED axon tunnel each cold compile
+    # can take 240 s+ (CLAUDE.md) and blow the supervisor's child timeout,
+    # while cached reloads take seconds — so a retry after a hang actually
+    # gets further instead of starting over.  Compile time is never part
+    # of the measured windows, so the numbers are unaffected.
+    from ffcnn_tpu import enable_compile_cache
+    enable_compile_cache()
     parity_gate()
     int8_net = int8_gate()
     fast_ips, fast_batch = throughput("fast")

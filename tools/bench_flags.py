@@ -26,6 +26,16 @@ ITERS = 30
 
 
 def main():
+    # Persistent compile cache: distinct FFCNN_* trace-time flag configs
+    # hash to distinct HLO (so A/Bs never collide), and re-running a
+    # config after a tunnel hang reloads instead of recompiling.  NOT safe
+    # under XLA_FLAGS/LIBTPU_INIT_ARGS sweeps — compiler flags are not all
+    # part of the jax cache key, so a cached executable from a different
+    # flag set could be silently reused; skip the cache there.
+    if not (os.environ.get("XLA_FLAGS")
+            or os.environ.get("LIBTPU_INIT_ARGS")):
+        from ffcnn_tpu import enable_compile_cache
+        enable_compile_cache()
     net = Net.load(CFG, WEIGHTS, mode=os.environ.get("MODE", "fast"))
     img = bmp_load(os.path.join(REPO, "tests", "fixtures", "test320.bmp"))
 
