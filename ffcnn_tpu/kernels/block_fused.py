@@ -144,11 +144,11 @@ def plan_runs(ir: NetIR, min_channels: Optional[int] = None,
     stride-2 stage-transition blocks, so runs span whole backbone REGIONS
     — one layout round-trip across several stages (the round-2 C<=16
     measurements paid the round-trip per stage; VERDICT r3 #1a)."""
-    import os
+    from ..tuning import get_flag
     if min_channels is None:
-        min_channels = int(os.environ.get("FFCNN_FUSED_MINC", MIN_CHANNELS))
+        min_channels = int(get_flag("FFCNN_FUSED_MINC", str(MIN_CHANNELS)))
     if allow_down is None:
-        allow_down = os.environ.get("FFCNN_FUSED_DOWN", "0") == "1"
+        allow_down = get_flag("FFCNN_FUSED_DOWN", "0") == "1"
     blocks = find_fused_blocks(ir)
     eligible = [b for s, b in sorted(blocks.items())
                 if ir.blobs[b.start].c >= min_channels
@@ -589,7 +589,8 @@ def apply_run(x, ir: NetIR, params, run: FusedRun, *,
     # pads sublanes 2x so dense-f32 moves the SAME bytes while skipping the
     # bf16 round-trip; at C=16 bf16 is already dense and f32 doubles bytes
     # (measure per stage — VERDICT r3 #1b).
-    store_f32 = os.environ.get("FFCNN_FUSED_STORE", "input") == "f32"
+    from ..tuning import get_flag
+    store_f32 = get_flag("FFCNN_FUSED_STORE", "input") == "f32"
     mid_dtype = jnp.float32 if store_f32 else x.dtype
     xc = jnp.transpose(x, (1, 3, 2, 0)).reshape(hh, cc, ww * n)
     xc, hh, ww = run_blocks_cs(xc, ir, params, run, hh, ww, n,
@@ -613,15 +614,15 @@ def run_blocks_cs(xc, ir: NetIR, params, run: FusedRun, hh: int, ww: int,
     halving their HBM round-trip where C>=24 (tools/traffic_model.py).
     The run's input and output stay float — graph/build handles edge
     requantization, identical with or without fusion."""
-    import os
+    from ..tuning import get_flag
     if mid_dtype is None:
         mid_dtype = jnp.float32 \
-            if os.environ.get("FFCNN_FUSED_STORE", "input") == "f32" \
+            if get_flag("FFCNN_FUSED_STORE", "input") == "f32" \
             else final_dtype
     # Halo-cascade: merge up to FFCNN_FUSED_CASCADE consecutive s1 blocks
     # into one launch so their boundary blobs never leave VMEM (default 0
     # = per-block launches, the measured round-2 configuration).
-    casc = int(os.environ.get("FFCNN_FUSED_CASCADE", "0"))
+    casc = int(get_flag("FFCNN_FUSED_CASCADE", "0"))
     groups: List[List[FusedBlock]] = []
     for b in run.blocks:
         if (casc > 1 and not b.down and groups and len(groups[-1]) < casc

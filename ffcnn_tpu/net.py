@@ -46,7 +46,8 @@ DEFAULT_NORM = (1 / 255.0, 1 / 255.0, 1 / 255.0)
 NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
 
 # Env flags read at TRACE time (here or in ops/kernels).  Their current
-# values are part of the pipeline cache key, so flipping one mid-process
+# RESOLVED values (env > tuned-defaults file > code default; tuning.py)
+# are part of the pipeline cache key, so flipping one mid-process
 # compiles a fresh bucket and actually takes effect — instead of silently
 # A/B-ing a pipeline against itself (ADVICE r2).  FFCNN_FUSED_MINC is
 # consumed at Net construction (plan_runs) and so needs a new Net anyway.
@@ -259,7 +260,8 @@ class Net:
         # code changes (24 puts the fused runs' interior boundaries in
         # int8 — kernels/block_fused.py run_blocks_cs; 32 is the r2
         # accuracy/perf sweet spot on the XLA path).
-        min_channels = int(os.environ.get("FFCNN_INT8_MINC", min_channels))
+        from .tuning import get_flag
+        min_channels = int(get_flag("FFCNN_INT8_MINC", str(min_channels)))
         # Fused Pallas runs compose cleanly with the plan: run boundary
         # blobs keep their planned storage (the graph builder requantizes
         # the run output), and the runs' interior blobs simply never
@@ -351,11 +353,12 @@ class Net:
             # conv lowers worse than the float one), so default OFF; the
             # exact-shift algebra is kept tested for when the backend's
             # int8 small-C convs improve (docs/PERF_NOTES.md).
-            c0q = folded and os.environ.get("FFCNN_CONV0_INT8", "0") == "1"
+            from .tuning import get_flag
+            c0q = folded and get_flag("FFCNN_CONV0_INT8", "0") == "1"
             # Pallas stem + fused-layout handoff into a region run starting
             # at layer 1 (kernels/conv0_fused.py); needs the region planner
             # (FFCNN_FUSED_DOWN=1, MINC<=8) to have produced that run.
-            c0p = folded and os.environ.get("FFCNN_CONV0_PALLAS", "0") == "1"
+            c0p = folded and get_flag("FFCNN_CONV0_PALLAS", "0") == "1"
             # Planar head layout (fast/int8): head conv channels permuted
             # field-major at trace time so decode reads contiguous slices
             # (bit-exact; _planarize_heads).  Measured a device-time WASH
@@ -390,8 +393,9 @@ class Net:
         mean_t = tuple(float(v) for v in np.asarray(mean).reshape(3))
         norm_t = tuple(float(v) for v in np.asarray(norm).reshape(3))
         folded = self._can_fold_input() and mean_t == DEFAULT_MEAN
+        from .tuning import get_flag
         key = (img_h, img_w, folded, topk or self.topk, mean_t, norm_t,
-               tuple(os.environ.get(k, "") for k in _TRACE_ENV_FLAGS))
+               tuple(get_flag(k, "") for k in _TRACE_ENV_FLAGS))
         fn = self._pipelines.get(key)
         if fn is None:
             fn = self._build_pipeline(img_h, img_w, folded, topk,

@@ -4,6 +4,10 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic w.r.t. whatever perf config was last measured on-chip: unit
+# tests exercise the CODE defaults unless a test opts in explicitly
+# (ffcnn_tpu/tuning.py precedence: env > tuned file > default).
+os.environ.setdefault("FFCNN_TUNED_DEFAULTS", "")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -75,7 +75,12 @@ def main():
                       "ms_batch": round(dt * 1000, 3),
                       "golden_ok": bool(ok),
                       "golden_batch_ok": bool(ok_batch),
-                      "flags": os.environ.get("XLA_FLAGS", "")}))
+                      "flags": os.environ.get("XLA_FLAGS", ""),
+                      # knob provenance for tools/apply_tuning.py (callers
+                      # like bench_regions overwrite with their overrides)
+                      "env": {k: v for k, v in sorted(os.environ.items())
+                              if k.startswith("FFCNN_")
+                              and k != "FFCNN_TUNED_DEFAULTS"}}))
 
 
 if __name__ == "__main__":

@@ -23,6 +23,13 @@ MODE=int8 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc32.json 2>$OUT/i
 MODE=int8 FFCNN_INT8_MINC=24 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24.json 2>$OUT/int8_minc24.err
 MODE=int8 FFCNN_INT8_MINC=24 FFCNN_FUSED_CASCADE=3 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24_casc3.json 2>$OUT/int8_minc24_casc3.err
 
+# 3b. fold the measured winners into tuned defaults (ffcnn_tpu/tuning.py)
+# so the round-end bench (and production) runs the best gated config even
+# if nobody is around to flip flags by hand.  Conservative: requires both
+# golden gates green and a >2% win; no-op otherwise.
+timeout 300 $PY tools/apply_tuning.py --regions $OUT/regions.jsonl \
+    --int8 "$OUT/int8_*.json" > $OUT/tuning.json 2>$OUT/tuning.err
+
 # 4. bubble attribution (VERDICT r3 #6)
 timeout 1800 $PY tools/trace_gaps.py --batch 256 --iters 10 > $OUT/gaps.log 2>&1
 
