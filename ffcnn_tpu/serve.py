@@ -7,6 +7,9 @@ checking SURVEY.md §5 calls for:
     GET  /healthz          -> 200 "ok" once the model is compiled and a
                               probe inference has run
     GET  /dump             -> the net_dump layer table
+    GET  /statz            -> JSON serving metrics: request/image/dispatch
+                              counters, dispatch-batch histogram, p50/p99
+                              dispatch latency, error counts, queue depth
     POST /detect           -> body: one 24-bit BMP; response: JSON
                               {"detections": [{score, class_id, box}, ...]}
 
@@ -66,6 +69,13 @@ class MicroBatcher:
         self._groups: "OrderedDict[tuple, deque]" = OrderedDict()
         self._npending = 0
         self._closed = False
+        # Serving metrics (GET /statz).  Mutated only by the dispatcher
+        # thread except requests/overloaded (request threads, int += under
+        # the CPython GIL is fine for counters read loosely).
+        self.metrics = {"requests": 0, "images": 0, "dispatches": 0,
+                        "dispatch_errors": 0, "overloaded": 0,
+                        "padded_slots": 0, "batch_hist": {}}
+        self._dispatch_ms = deque(maxlen=512)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -83,9 +93,11 @@ class MicroBatcher:
     def detect(self, img):
         p = _Pending(img)
         with self._cv:
+            self.metrics["requests"] += 1
             if self._closed or not self._thread.is_alive():
                 raise RuntimeError("batcher dispatcher is not running")
             if self._npending >= self.max_pending:
+                self.metrics["overloaded"] += 1
                 raise Overloaded(
                     f"{self._npending} requests pending (max {self.max_pending})")
             self._groups.setdefault(tuple(img.shape), deque()).append(p)
@@ -137,15 +149,25 @@ class MicroBatcher:
                         break
                     group = self._take_group()
                 try:
+                    import time
                     n = self._bucket(len(group))
                     batch = np.zeros((n,) + group[0].img.shape, np.uint8)
                     for i, p in enumerate(group):
                         batch[i] = p.img
+                    t0 = time.perf_counter()
                     results = self.net.detect(batch)
+                    m = self.metrics
+                    m["dispatches"] += 1
+                    m["images"] += len(group)
+                    m["padded_slots"] += n - len(group)
+                    m["batch_hist"][n] = m["batch_hist"].get(n, 0) + 1
+                    self._dispatch_ms.append(
+                        (time.perf_counter() - t0) * 1000.0)
                     for p, dets in zip(group, results):
                         p.result = dets
                         p.event.set()
                 except Exception as e:  # noqa: BLE001 — fan out, keep serving
+                    self.metrics["dispatch_errors"] += 1
                     for p in group:
                         p.error = e
                         p.event.set()
@@ -212,6 +234,36 @@ class DetectorService:
             return "batcher dispatcher is not running"
         return self._error
 
+    def stats(self) -> dict:
+        """Serving metrics snapshot (GET /statz): counters, dispatch-batch
+        histogram, and p50/p99 dispatch wall latency over the last 512
+        dispatches.  Wall time here includes device dispatch + sync (and,
+        in this environment, the tunnel RTT) — it is the number a capacity
+        planner sees, not on-chip kernel time (that's `ffcnn profile`)."""
+        b = self._batcher
+        # Lock-free snapshot: the dispatcher may append mid-copy, which can
+        # raise "mutated during iteration" — retry rather than lock the
+        # serving hot path for a metrics read.
+        for _ in range(8):
+            try:
+                lat = sorted(b._dispatch_ms)
+                snap = {k: (dict(v) if isinstance(v, dict) else v)
+                        for k, v in b.metrics.items()}
+                break
+            except RuntimeError:
+                continue
+        else:
+            lat, snap = [], {"batch_hist": {}}
+        pct = (lambda q: round(lat[min(len(lat) - 1,
+                                       int(q * len(lat)))], 2)) if lat \
+            else (lambda q: None)
+        m = snap
+        m["batch_hist"] = {str(k): v
+                           for k, v in sorted(m["batch_hist"].items())}
+        m.update(pending=b._npending, ready=self.ready,
+                 dispatch_p50_ms=pct(0.50), dispatch_p99_ms=pct(0.99))
+        return m
+
     def detect_bmp_bytes(self, raw: bytes):
         from .imageio.bmp import bmp_decode
         img = bmp_decode(raw)
@@ -246,6 +298,8 @@ def make_server(service: DetectorService, host: str = "127.0.0.1",
                     self._send(503, b"warming up", "text/plain")
             elif self.path == "/dump":
                 self._send(200, service.net.dump().encode(), "text/plain")
+            elif self.path == "/statz":
+                self._send(200, json.dumps(service.stats()).encode())
             else:
                 self._send(404, b"not found", "text/plain")
 

@@ -315,3 +315,27 @@ def test_dp_serving_end_to_end():
         assert len(dets) == len(want)
     finally:
         srv.shutdown()
+
+
+def test_statz_endpoint(server, tmp_path):
+    srv, service = server
+    service.warmup()
+    from ffcnn_tpu.imageio.bmp import bmp_save
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "s.bmp")
+    bmp_save(p, img)
+    with open(p, "rb") as f:
+        raw = f.read()
+    req = urllib.request.Request(_url(srv, "/detect"), data=raw, method="POST")
+    urllib.request.urlopen(req)
+    stats = json.loads(urllib.request.urlopen(_url(srv, "/statz")).read())
+    assert stats["requests"] >= 1
+    assert stats["images"] >= 1
+    assert stats["dispatches"] >= 1
+    assert stats["ready"] is True
+    assert stats["pending"] == 0
+    assert stats["dispatch_p50_ms"] is None or stats["dispatch_p50_ms"] > 0
+    # every dispatch lands in a power-of-two bucket of the histogram
+    assert sum(stats["batch_hist"].values()) == stats["dispatches"]
+    assert all(int(k) & (int(k) - 1) == 0 for k in stats["batch_hist"])
