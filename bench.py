@@ -257,10 +257,28 @@ def supervise():
             return 0
         log("bench child exited %d (attempt %d)"
             % (out.returncode, attempt + 1))
+    # Distinguish "tunnel dead" from "our code broke": an 8x128 elementwise
+    # jit hanging means NO program can run (infra), and the record should
+    # say so rather than implicate the framework.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jax.jit(lambda v: (v*2).sum())"
+             "(jnp.ones((8,128)))))"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, timeout=90)
+        probe_state = "ok" if probe.returncode == 0 else "error"
+    except subprocess.TimeoutExpired:
+        probe_state = "hang"
     print(json.dumps({
         "metric": "yolo-fastest-1.1 320x320 pixels-to-boxes throughput",
         "value": 0, "unit": "img/s/chip", "vs_baseline": 0,
-        "error": "all bench attempts hung or failed (axon tunnel)"}))
+        "error": "all bench attempts hung or failed",
+        "tiny_probe": probe_state,
+        "diagnosis": ("axon tunnel down (even trivial programs hang)"
+                      if probe_state == "hang" else
+                      "device reachable but the pipeline failed — "
+                      "see bench logs")}))
     return 1
 
 
