@@ -61,7 +61,10 @@ def main(argv=None) -> int:
     for label, overrides in CONFIGS:
         if args.configs and label not in args.configs:
             continue
-        env = dict(os.environ, **overrides)
+        # FFCNN_TUNED_DEFAULTS="": A/B configs must measure EXPLICIT flags
+        # against true code defaults — a tuned file from an earlier
+        # apply_tuning run would otherwise contaminate the baseline row.
+        env = dict(os.environ, FFCNN_TUNED_DEFAULTS="", **overrides)
         # Two attempts per config: bench_flags enables the persistent
         # compile cache, so a run that times out on cold Mosaic compiles
         # (whole-backbone cascades compile many distinct kernels, minutes

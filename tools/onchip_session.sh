@@ -18,10 +18,12 @@ timeout 4000 $PY tools/validate_rows.py -o $OUT/rows.jsonl > $OUT/rows.log 2>&1
 # 2. fused-region config matrix (VERDICT r3 #1)
 timeout 14000 $PY tools/bench_regions.py -o $OUT/regions.jsonl > $OUT/regions.log 2>&1
 
-# 3. int8 A/B (VERDICT r3 #3): plain, minc24 (fused interior boundaries)
-MODE=int8 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc32.json 2>$OUT/int8_minc32.err
-MODE=int8 FFCNN_INT8_MINC=24 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24.json 2>$OUT/int8_minc24.err
-MODE=int8 FFCNN_INT8_MINC=24 FFCNN_FUSED_CASCADE=3 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24_casc3.json 2>$OUT/int8_minc24_casc3.err
+# 3. int8 A/B (VERDICT r3 #3): plain, minc24 (fused interior boundaries).
+# FFCNN_TUNED_DEFAULTS="" so a pre-existing tuned file can't contaminate
+# the baseline row (same rule as bench_regions).
+MODE=int8 FFCNN_TUNED_DEFAULTS= timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc32.json 2>$OUT/int8_minc32.err
+MODE=int8 FFCNN_TUNED_DEFAULTS= FFCNN_INT8_MINC=24 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24.json 2>$OUT/int8_minc24.err
+MODE=int8 FFCNN_TUNED_DEFAULTS= FFCNN_INT8_MINC=24 FFCNN_FUSED_CASCADE=3 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24_casc3.json 2>$OUT/int8_minc24_casc3.err
 
 # 3b. fold the measured winners into tuned defaults (ffcnn_tpu/tuning.py)
 # so the round-end bench (and production) runs the best gated config even
