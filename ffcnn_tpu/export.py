@@ -267,8 +267,12 @@ class ArtifactNet:
         conversion as Net.detect; no saturation RETRY — the program's topk
         is sealed at export time — but saturation is surfaced like the live
         path's, not silently dropped (ADVICE r2))."""
-        from .net import Net
+        return self.detect_async(images)()
 
+    def detect_async(self, images):
+        """Dispatch without waiting; returns a zero-arg completion callable
+        (the serving micro-batcher overlaps rounds through this, like
+        ``Net.detect_async``)."""
         batch = np.asarray(images)
         n, h, w, _ = batch.shape
         art = self._pick(h, w, n)
@@ -277,12 +281,16 @@ class ArtifactNet:
             batch = np.concatenate(
                 [batch, np.zeros((bn - n,) + batch.shape[1:], np.uint8)])
         res = art.call(batch)
-        if bool(np.asarray(res.saturated)[:n].any()):
-            warnings.warn(
-                "NMS top-k saturated: some candidates were dropped "
-                "pre-suppression; re-export the net with a larger topk "
-                "for crowded scenes.", RuntimeWarning, stacklevel=2)
-        return Net._to_detections(res)[:n]
+
+        def finish():
+            from .net import Net
+            if bool(np.asarray(res.saturated)[:n].any()):
+                warnings.warn(
+                    "NMS top-k saturated: some candidates were dropped "
+                    "pre-suppression; re-export the net with a larger topk "
+                    "for crowded scenes.", RuntimeWarning, stacklevel=2)
+            return Net._to_detections(res)[:n]
+        return finish
 
     def warmup(self, image_sizes=None, batch_sizes=None) -> None:
         """Run every artifact once AND verify its baked golden probe

@@ -414,12 +414,17 @@ class Net:
         if batch.ndim != 4 or batch.shape[-1] != 3:
             raise ValueError(f"expected (N, H, W, 3) uint8, got {batch.shape}")
         res = self.detect_device(batch, mean, norm)
-        # Dense-scene handling: if any frame had more above-threshold
-        # candidates than topk, the top-k pass truncated BEFORE suppression
-        # and the result can diverge from the reference's (effectively
-        # unbounded, ffcnn.c:243) NMS.  In parity mode grow K and retry
-        # until the census fits; in fast mode warn — production callers
-        # watching throughput can raise ``topk`` or read res.saturated.
+        out = self._finish(res, batch, mean, norm)
+        return out[0] if single else out
+
+    def _finish(self, res: NMSResult, batch, mean, norm) -> List[List[Detection]]:
+        """Resolve one dispatched result to Detection lists, handling
+        dense-scene saturation: if any frame had more above-threshold
+        candidates than topk, the top-k pass truncated BEFORE suppression
+        and the result can diverge from the reference's (effectively
+        unbounded, ffcnn.c:243) NMS.  In parity mode grow K and retry
+        until the census fits; in fast mode warn — production callers
+        watching throughput can raise ``topk`` or read res.saturated."""
         max_k = self._max_candidates()
         k = min(self.topk, max_k)
         while bool(np.asarray(res.saturated).any()) and k < max_k:
@@ -430,11 +435,56 @@ class Net:
                     f"NMS top-k saturated (k={self.topk}); some candidates "
                     f"were dropped pre-suppression. Raise topk (model max "
                     f"{max_k}) for crowded scenes.", RuntimeWarning,
-                    stacklevel=2)
+                    stacklevel=3)
                 break
             res = self.detect_device(batch, mean, norm, topk=k)
-        out = self._to_detections(res)
-        return out[0] if single else out
+        return self._to_detections(res)
+
+    def detect_async(self, batch, mean=DEFAULT_MEAN, norm=DEFAULT_NORM):
+        """Dispatch one uint8 (N, H, W, 3) batch WITHOUT waiting and return
+        a zero-arg completion callable producing ``List[List[Detection]]``.
+        The host->HBM copy and device compute run while the caller does
+        other work (assembling the next batch, decoding the previous
+        round's results); used by the serving micro-batcher to overlap
+        rounds."""
+        res = self.detect_device(batch, mean, norm)
+        return lambda: self._finish(res, batch, mean, norm)
+
+    def detect_stream(self, batches, mean=DEFAULT_MEAN, norm=DEFAULT_NORM,
+                      depth: int = 2):
+        """Pipelined detection over an iterable of uint8 (N, H, W, 3)
+        batches; yields one ``List[List[Detection]]`` per input batch, in
+        order.
+
+        Where :meth:`detect` is strictly serial per call (host->HBM copy,
+        device compute, device->host results, decode), this keeps up to
+        ``depth`` batches in flight: batch *i+1*'s host->device transfer
+        and dispatch are issued BEFORE blocking on batch *i*'s results, so
+        the transfer and the host-side result decode ride under device
+        compute (JAX dispatch is asynchronous).  The reference's serial
+        demo loop (ffcnn.c:577-580) has no analog; this is the throughput
+        path for host-resident frame streams (file readers, video).
+
+        ``depth`` bounds in-flight HBM (depth x batch buffers).  Dense-
+        scene semantics match :meth:`detect`: parity mode re-runs a
+        saturated batch at a larger top-k; fast/int8 warn once."""
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        from collections import deque
+        inflight: deque = deque()           # completion callables
+        for batch in batches:
+            batch = np.asarray(batch)
+            if batch.ndim != 4 or batch.shape[-1] != 3:
+                raise ValueError(
+                    f"expected (N, H, W, 3) uint8 batches, got {batch.shape}")
+            # detect_async starts the host->HBM copy and enqueues the
+            # compute — both asynchronous, so the loop immediately proceeds
+            # to either the next batch or the oldest result.
+            inflight.append(self.detect_async(batch, mean, norm))
+            if len(inflight) >= depth:
+                yield inflight.popleft()()
+        while inflight:
+            yield inflight.popleft()()
 
     def detect_device(self, batch, mean=DEFAULT_MEAN, norm=DEFAULT_NORM,
                       topk: Optional[int] = None) -> NMSResult:

@@ -206,29 +206,37 @@ class DPNet:
         return fn
 
     def detect(self, images):
-        import warnings
-
         import numpy as np
-
-        from ..net import Net
-
         batch = np.asarray(images)
         single = batch.ndim == 3
-        if single:
-            batch = batch[None]
+        out = self.detect_async(batch[None] if single else batch)()
+        return out[0] if single else out
+
+    def detect_async(self, images):
+        """Dispatch one (N, H, W, 3) uint8 batch over the mesh without
+        waiting; returns a zero-arg completion callable (the serving
+        micro-batcher overlaps rounds through this, exactly like
+        ``Net.detect_async``)."""
+        import numpy as np
+        batch = np.asarray(images)
         n, h, w, _ = batch.shape
         m = -(-n // self.ndata) * self.ndata
         if m != n:
             batch = np.concatenate(
                 [batch, np.zeros((m - n,) + batch.shape[1:], batch.dtype)])
         res = self._fn(h, w)(jnp.asarray(batch))
-        if bool(np.asarray(res.saturated)[:n].any()):
-            warnings.warn(
-                "NMS top-k saturated: some candidates were dropped "
-                "pre-suppression; raise the net's topk for crowded "
-                "scenes.", RuntimeWarning, stacklevel=2)
-        out = Net._to_detections(res)[:n]
-        return out[0] if single else out
+
+        def finish():
+            import warnings
+
+            from ..net import Net
+            if bool(np.asarray(res.saturated)[:n].any()):
+                warnings.warn(
+                    "NMS top-k saturated: some candidates were dropped "
+                    "pre-suppression; raise the net's topk for crowded "
+                    "scenes.", RuntimeWarning, stacklevel=2)
+            return Net._to_detections(res)[:n]
+        return finish
 
     def warmup(self, image_sizes=None, batch_sizes=None) -> None:
         import numpy as np

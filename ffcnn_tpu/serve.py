@@ -139,40 +139,79 @@ class MicroBatcher:
                 p.error = err
                 p.event.set()
 
+    def _dispatch(self, group):
+        """Assemble one padded batch and start its device round.  Returns
+        (finish, t0): ``finish()`` blocks until results and returns the
+        per-image Detection lists.  Nets exposing ``detect_async`` (Net)
+        get true overlap — the host->HBM copy and compute run while the
+        dispatcher assembles/dispatches the NEXT round and fans out the
+        PREVIOUS round's results; others (DPNet, ArtifactNet) run inline."""
+        import time
+        n = self._bucket(len(group))
+        batch = np.zeros((n,) + group[0].img.shape, np.uint8)
+        for i, p in enumerate(group):
+            batch[i] = p.img
+        t0 = time.perf_counter()
+        dispatch = getattr(self.net, "detect_async", None)
+        if dispatch is not None:
+            return dispatch(batch), t0
+        results = self.net.detect(batch)
+        return (lambda: results), t0
+
+    def _complete(self, group, finish, t0):
+        """Wait for one round's results and fan them out to its callers."""
+        import time
+        try:
+            results = finish()
+            m = self.metrics
+            m["dispatches"] += 1
+            m["images"] += len(group)
+            m["padded_slots"] += self._bucket(len(group)) - len(group)
+            n = self._bucket(len(group))
+            m["batch_hist"][n] = m["batch_hist"].get(n, 0) + 1
+            self._dispatch_ms.append((time.perf_counter() - t0) * 1000.0)
+            for p, dets in zip(group, results):
+                p.result = dets
+                p.event.set()
+        except Exception as e:  # noqa: BLE001 — fan out, keep serving
+            self.metrics["dispatch_errors"] += 1
+            for p in group:
+                p.error = e
+                p.event.set()
+
     def _loop(self):
+        prev = None                       # (group, finish, t0) in flight
         while True:
             try:
                 with self._cv:
-                    while not self._groups and not self._closed:
+                    while not self._groups and not self._closed \
+                            and prev is None:
                         self._cv.wait()
                     if self._closed:
                         break
-                    group = self._take_group()
-                try:
-                    import time
-                    n = self._bucket(len(group))
-                    batch = np.zeros((n,) + group[0].img.shape, np.uint8)
-                    for i, p in enumerate(group):
-                        batch[i] = p.img
-                    t0 = time.perf_counter()
-                    results = self.net.detect(batch)
-                    m = self.metrics
-                    m["dispatches"] += 1
-                    m["images"] += len(group)
-                    m["padded_slots"] += n - len(group)
-                    m["batch_hist"][n] = m["batch_hist"].get(n, 0) + 1
-                    self._dispatch_ms.append(
-                        (time.perf_counter() - t0) * 1000.0)
-                    for p, dets in zip(group, results):
-                        p.result = dets
-                        p.event.set()
-                except Exception as e:  # noqa: BLE001 — fan out, keep serving
-                    self.metrics["dispatch_errors"] += 1
-                    for p in group:
-                        p.error = e
-                        p.event.set()
+                    group = self._take_group() if self._groups else None
+                if group is not None:
+                    # Start this round BEFORE completing the previous one:
+                    # under load the device is never idle while the
+                    # dispatcher copies pixels or decodes results.
+                    try:
+                        nxt = (group,) + self._dispatch(group)
+                    except Exception as e:  # noqa: BLE001 — dispatch failed
+                        self.metrics["dispatch_errors"] += 1
+                        for p in group:
+                            p.error = e
+                            p.event.set()
+                        nxt = None
+                else:
+                    nxt = None            # idle: just drain the in-flight round
+                if prev is not None:
+                    self._complete(*prev)
+                prev = nxt
             except BaseException as e:  # noqa: BLE001 — never die silently
+                prev = None
                 self._fail_all(RuntimeError(f"batcher dispatcher error: {e!r}"))
+        if prev is not None:
+            self._complete(*prev)
         self._fail_all(RuntimeError("batcher closed"))
 
 

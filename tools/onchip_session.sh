@@ -35,6 +35,11 @@ timeout 300 $PY tools/apply_tuning.py --regions $OUT/regions.jsonl \
 # 4. bubble attribution (VERDICT r3 #6)
 timeout 1800 $PY tools/trace_gaps.py --batch 256 --iters 10 > $OUT/gaps.log 2>&1
 
+# 4b. host-input streaming A/B (VERDICT r3 #6, second half): serial
+# detect() vs pipelined detect_stream() on distinct host batches.
+timeout 1800 $PY tools/bench_stream.py > $OUT/stream.json 2>$OUT/stream.err
+MODE=int8 timeout 1800 $PY tools/bench_stream.py > $OUT/stream_int8.json 2>$OUT/stream_int8.err
+
 # 5. headline bench with current defaults (sanity + cache warm)
 timeout 5400 $PY bench.py > $OUT/bench.json 2>$OUT/bench.log
 
