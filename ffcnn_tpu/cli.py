@@ -137,19 +137,38 @@ def cmd_profile(args) -> int:
 
 
 def cmd_batch(args) -> int:
-    """Batch detection over many BMPs via the native threaded loader."""
+    """Batch detection over many BMPs: fixed-size chunks streamed through
+    the pipelined dispatcher, so the native threaded BMP loader decodes
+    chunk i+1 while the device runs chunk i (Net.detect_stream keeps two
+    chunks in flight).  One compiled bucket regardless of image count."""
     from . import Net
     from .imageio.loader import load_batch
 
-    batch = load_batch(args.images, args.threads)
-    net = Net.load(args.cfg, args.weights, batch.shape[2], batch.shape[1],
+    paths = args.images
+    bs = max(1, min(args.batch, len(paths)))
+    first = load_batch(paths[:bs], args.threads)
+    net = Net.load(args.cfg, args.weights, first.shape[2], first.shape[1],
                    mode=args.mode, cache_dir=args.cache_dir)
+
+    def chunks():
+        yield first
+        for i in range(bs, len(paths), bs):
+            imgs = load_batch(paths[i:i + bs], args.threads)
+            if imgs.shape[0] < bs:      # pad the tail into the same bucket
+                pad = np.zeros((bs - imgs.shape[0],) + imgs.shape[1:],
+                               np.uint8)
+                imgs = np.concatenate([imgs, pad])
+            yield imgs
+
     t0 = time.perf_counter()
-    results = net.detect(batch)
+    results = []
+    for dets in net.detect_stream(chunks(), depth=2):
+        results.extend(dets)
+    results = results[: len(paths)]
     ms = (time.perf_counter() - t0) * 1000
     print("%d images: %d ms (%.1f img/s)"
           % (len(results), int(ms), len(results) / (ms / 1000)))
-    for path, dets in zip(args.images, results):
+    for path, dets in zip(paths, results):
         print(path)
         for d in dets:
             print("  score: %.2f, category: %2d, rect: (%3d %3d %3d %3d)"
@@ -241,6 +260,9 @@ def main(argv=None) -> int:
 
     pm = sub.add_parser("batch", help="batch detection over many BMPs")
     pm.add_argument("images", nargs="+")
+    pm.add_argument("--batch", type=int, default=64,
+                    help="chunk size streamed per dispatch (loader overlaps "
+                         "device compute)")
     pm.add_argument("--threads", type=int, default=0,
                     help="loader threads (0 = all cores)")
     pm.add_argument("--cache-dir", default=None,

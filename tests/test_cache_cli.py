@@ -123,6 +123,17 @@ def test_cli_dump_and_batch(micro_files, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "3 images" in out
     assert out.count("img") >= 3
+    dets_single = [l for l in out.splitlines() if "score:" in l]
+
+    # Multi-chunk streaming (--batch 2 -> chunks of 2 + padded tail): same
+    # per-image detections as the one-dispatch run above.
+    rc = cli.main(["batch", *paths, "--cfg", cfg, "--weights", wpath,
+                   "--mode", "parity", "--batch", "2",
+                   "--cache-dir", str(tmp_path / "cache")])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "3 images" in out2
+    assert [l for l in out2.splitlines() if "score:" in l] == dets_single
 
 
 def test_profile_report_renders(micro_files):
