@@ -3,6 +3,10 @@
 # Run when the axon tunnel recovers:   sh tools/onchip_session.sh
 # Logs land in /tmp/onchip/.  Each stage is independently time-bounded;
 # a wedge in one stage doesn't kill the rest (fresh child processes).
+#
+# Stage ORDER is value-first: if the tunnel recovers late in the round,
+# the early stages alone leave a tuned default + a gated headline bench;
+# the diagnostics (rows/gaps/stream) come after.
 set -x
 PY=/opt/venv/bin/python
 OUT=/tmp/onchip
@@ -12,35 +16,36 @@ cd "$(dirname "$0")/.."
 # 0. health gate (retries up to 30 min)
 timeout 2100 $PY tools/tpu_health.py --wait 30 > $OUT/health.log 2>&1 || exit 1
 
-# 1. VMEM boundary sweep (ADVICE r2 #5 validate branch)
-timeout 4000 $PY tools/validate_rows.py -o $OUT/rows.jsonl > $OUT/rows.log 2>&1
-
-# 2. fused-region config matrix (VERDICT r3 #1)
+# 1. fused-region config matrix (VERDICT r3 #1) — the big lever
 timeout 14000 $PY tools/bench_regions.py -o $OUT/regions.jsonl > $OUT/regions.log 2>&1
 
-# 3. int8 A/B (VERDICT r3 #3): plain, minc24 (fused interior boundaries).
+# 2. int8 A/B (VERDICT r3 #3): plain, minc24 (fused interior boundaries).
 # FFCNN_TUNED_DEFAULTS="" so a pre-existing tuned file can't contaminate
 # the baseline row (same rule as bench_regions).
 MODE=int8 FFCNN_TUNED_DEFAULTS= timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc32.json 2>$OUT/int8_minc32.err
 MODE=int8 FFCNN_TUNED_DEFAULTS= FFCNN_INT8_MINC=24 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24.json 2>$OUT/int8_minc24.err
 MODE=int8 FFCNN_TUNED_DEFAULTS= FFCNN_INT8_MINC=24 FFCNN_FUSED_CASCADE=3 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_minc24_casc3.json 2>$OUT/int8_minc24_casc3.err
 
-# 3b. fold the measured winners into tuned defaults (ffcnn_tpu/tuning.py)
+# 3. fold the measured winners into tuned defaults (ffcnn_tpu/tuning.py)
 # so the round-end bench (and production) runs the best gated config even
 # if nobody is around to flip flags by hand.  Conservative: requires both
 # golden gates green and a >2% win; no-op otherwise.
 timeout 300 $PY tools/apply_tuning.py --regions $OUT/regions.jsonl \
     --int8 "$OUT/int8_*.json" > $OUT/tuning.json 2>$OUT/tuning.err
 
-# 4. bubble attribution (VERDICT r3 #6)
+# 4. headline bench with the (possibly tuned) defaults — records a gated
+# number early in case later stages hit a wedge
+timeout 5400 $PY bench.py > $OUT/bench.json 2>$OUT/bench.log
+
+# 5. VMEM boundary sweep (ADVICE r2 #5 validate branch)
+timeout 4000 $PY tools/validate_rows.py -o $OUT/rows.jsonl > $OUT/rows.log 2>&1
+
+# 6. bubble attribution (VERDICT r3 #6)
 timeout 1800 $PY tools/trace_gaps.py --batch 256 --iters 10 > $OUT/gaps.log 2>&1
 
-# 4b. host-input streaming A/B (VERDICT r3 #6, second half): serial
+# 7. host-input streaming A/B (VERDICT r3 #6, second half): serial
 # detect() vs pipelined detect_stream() on distinct host batches.
 timeout 1800 $PY tools/bench_stream.py > $OUT/stream.json 2>$OUT/stream.err
 MODE=int8 timeout 1800 $PY tools/bench_stream.py > $OUT/stream_int8.json 2>$OUT/stream_int8.err
-
-# 5. headline bench with current defaults (sanity + cache warm)
-timeout 5400 $PY bench.py > $OUT/bench.json 2>$OUT/bench.log
 
 echo DONE
