@@ -177,6 +177,31 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_roofline(args) -> int:
+    """Static HBM/MXU roofline for a cfg — no device, no weights: bytes
+    moved, FLOPs, and the time floor per resolution stage (roofline.py).
+    Honors the FFCNN_FUSED_* plan flags so the table reflects the plan the
+    fast pipeline would actually trace."""
+    from . import roofline
+    from .darknet import parse_cfg
+
+    ir = parse_cfg(args.cfg, args.size, args.size)
+    runs = None
+    if not args.no_fused and args.dtype == "bf16":
+        from .kernels.block_fused import plan_runs
+        runs = plan_runs(ir)
+    from .tuning import get_flag
+    store = get_flag("FFCNN_FUSED_STORE", "")
+    costs = roofline.layer_costs(
+        ir, args.batch, args.dtype, fused_runs=runs,
+        store_dtype=store if store in ("f32", "bf16", "int8") else None)
+    sys.stdout.write(roofline.render(ir, costs, args.batch))
+    if runs:
+        print("fused runs: %s" % ", ".join(
+            "L%d-%d" % (r.start, r.end) for r in runs))
+    return 0
+
+
 def cmd_export(args) -> int:
     from . import Net
 
@@ -258,6 +283,17 @@ def main(argv=None) -> int:
     _add_model_args(pe)
     pe.set_defaults(mode="fast")
 
+    pr = sub.add_parser(
+        "roofline", help="static HBM/MXU traffic + time-floor table "
+                         "(no device needed)")
+    pr.add_argument("--cfg", default=DEFAULT_CFG)
+    pr.add_argument("--batch", type=int, default=256)
+    pr.add_argument("--size", type=int, default=320)
+    pr.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    pr.add_argument("--no-fused", action="store_true",
+                    help="model per-layer materialization instead of the "
+                         "fused-run plan")
+
     pm = sub.add_parser("batch", help="batch detection over many BMPs")
     pm.add_argument("images", nargs="+")
     pm.add_argument("--batch", type=int, default=64,
@@ -279,7 +315,7 @@ def main(argv=None) -> int:
         enable_compile_cache()
     return {"detect": cmd_detect, "dump": cmd_dump, "bench": cmd_bench,
             "profile": cmd_profile, "batch": cmd_batch,
-            "export": cmd_export}[args.cmd](args)
+            "export": cmd_export, "roofline": cmd_roofline}[args.cmd](args)
 
 
 if __name__ == "__main__":

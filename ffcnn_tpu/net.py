@@ -222,16 +222,43 @@ class Net:
                         np.zeros((n, h, w, 3), np.uint8), topk=k)
                     jax.block_until_ready(res)
 
+    def roofline_costs(self, batch_size: int):
+        """Static per-layer HBM-bytes/FLOP costs (roofline.py) for THIS
+        net's execution plan at ``batch_size`` — fused Pallas runs and the
+        int8 plan included exactly when the pipeline would trace them."""
+        from . import roofline
+        from .kernels.block_fused import runs_usable
+        from .tuning import get_flag
+        from .kernels.head_fused import head_runs_usable
+        interp = os.environ.get("FFCNN_FUSED_INTERPRET", "0") == "1"
+        runs = list(self._fused_runs) if (self._fused_runs and
+                                          (interp or
+                                           runs_usable(batch_size))) \
+            else []
+        if self._head_runs and head_runs_usable(batch_size):
+            runs += list(self._head_runs)   # same start/end traffic shape
+        store = get_flag("FFCNN_FUSED_STORE", "")
+        return roofline.layer_costs(
+            self.ir, batch_size,
+            dtype="f32" if self.mode == "parity" else "bf16",
+            fused_runs=runs or None, quant=self.quant,
+            store_dtype=store if store in ("f32", "bf16", "int8") else None)
+
     def profile_layers(self, batch=None, iters: int = 10):
         """Hardware per-layer profile (profiling.py): runs ``iters`` jitted
         steps under jax.profiler and attributes device time to layers via
-        their named scopes.  Returns a ProfileReport (use .render())."""
+        their named scopes.  Returns a ProfileReport (use .render()) with
+        static roofline floors attached — each layer row shows how far its
+        measured device time sits above its HBM/MXU bound."""
         from .profiling import profile_layers as _pl
         if batch is None:
             net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
             batch = np.zeros((8, net_h, net_w, 3), np.uint8)
         batch = jnp.asarray(batch)
-        return _pl(lambda: self.detect_device(batch), self.ir, iters)
+        rep = _pl(lambda: self.detect_device(batch), self.ir, iters)
+        rep.floors_us = {c.index: c.floor_us()
+                         for c in self.roofline_costs(batch.shape[0])}
+        return rep
 
     # ------------------------------------------------------------- pipelines
     def _head_layers(self):

@@ -43,11 +43,16 @@ class ProfileReport:
     other_us: float                    # preprocess/decode/NMS/etc
     total_us: float
     iters: int
+    # Optional static roofline floors (roofline.py): layer idx -> floor us.
+    # Set by Net.profile_layers so the per-layer table shows how far each
+    # measured time sits above its HBM/MXU bound.
+    floors_us: Optional[Dict[int, float]] = None
 
     def render(self, per_layer: bool = True) -> str:
         """net_profile-style text report (per layer type, like
         NET.timeused[] ffcnn.h:45), followed (optionally) by the per-layer
-        table."""
+        table — with measured-vs-floor columns when roofline floors are
+        attached."""
         lines = ["profile (device us per step, %d steps averaged):"
                  % self.iters]
         for name, us in sorted(self.by_type.items(), key=lambda kv: -kv[1]):
@@ -60,13 +65,20 @@ class ProfileReport:
         if not per_layer:
             return "\n".join(lines) + "\n"
         lines.append("")
-        lines.append("%4s %-9s %-40s %10s" % ("idx", "type", "layer",
-                                              "us/step"))
+        hdr = "%4s %-9s %-40s %10s" % ("idx", "type", "layer", "us/step")
+        if self.floors_us:
+            hdr += " %9s %8s" % ("floor us", "x floor")
+        lines.append(hdr)
         for lp in self.layers:
-            if lp.us_per_step > 0:
-                lines.append("%4d %-9s %-40s %10.1f"
-                             % (lp.index, lp.type_name, lp.desc,
-                                lp.us_per_step))
+            if lp.us_per_step <= 0:
+                continue
+            row = "%4d %-9s %-40s %10.1f" % (lp.index, lp.type_name,
+                                             lp.desc, lp.us_per_step)
+            if self.floors_us:
+                fl = self.floors_us.get(lp.index, 0.0)
+                row += " %9.1f %8s" % (
+                    fl, ("%.2f" % (lp.us_per_step / fl)) if fl > 0 else "-")
+            lines.append(row)
         return "\n".join(lines) + "\n"
 
 
