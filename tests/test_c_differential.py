@@ -83,6 +83,23 @@ def test_flagship_corpus_differential_v6(c_binary, corpus):
         "\n" + res.report("flagship vs v6", verbose=True)
 
 
+def test_flagship_fast_mode_drift(c_binary_v0, corpus):
+    """PRODUCTION-mode (bf16 fast) drift measured against the C binary —
+    the empirical basis for the fast tolerance gates, which round 2
+    calibrated on a single image.  Full-corpus numbers (CPU backend):
+    82/83 boxes paired, max box dev 23 px, max score dev 0.10
+    (docs/PERF_NOTES.md); the subset here keeps CI time bounded."""
+    sub = {g: v[:6] for g, v in corpus.items()}
+    res = cd.diff_flagship(c_binary_v0, sub, mode="fast")
+    assert res.drift_candidates > 10
+    # at most one marginal detection may fail to pair (threshold knife
+    # edge flips a box in/out entirely)
+    assert res.drift_matched >= res.drift_candidates - 1, \
+        "\n" + res.report("fast drift", verbose=True)
+    assert res.max_box_dev <= 32
+    assert res.max_score_dev <= 0.15
+
+
 @pytest.mark.parametrize("seed", [21, 22, 23, 24])
 def test_random_graph_c_differential(c_binary_v0, seed, tmp_path):
     """Differential fuzzing against the C BINARY itself: random valid

