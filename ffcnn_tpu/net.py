@@ -271,7 +271,8 @@ class Net:
 
     # ------------------------------------------------------------- int8 mode
     def calibrate(self, images, mean=None, norm=None,
-                  min_channels: int = 32) -> None:
+                  min_channels: int = 32,
+                  percentile: Optional[float] = None) -> None:
         """int8 mode: collect per-blob activation ranges from ``images``
         (uint8 BGR, (N, H, W, 3) at the net input size or any letterboxable
         size) and build the quantization plan (quant.py).  Compiled
@@ -289,6 +290,11 @@ class Net:
         # accuracy/perf sweet spot on the XLA path).
         from .tuning import get_flag
         min_channels = int(get_flag("FFCNN_INT8_MINC", str(min_channels)))
+        # FFCNN_INT8_PCT: activation-range percentile clip (e.g. 99.9);
+        # empty/unset = exact absmax (quant.collect_blob_absmax).
+        if percentile is None:
+            pct = get_flag("FFCNN_INT8_PCT", "")
+            percentile = float(pct) if pct else None
         # Fused Pallas runs compose cleanly with the plan: run boundary
         # blobs keep their planned storage (the graph builder requantizes
         # the run output), and the runs' interior blobs simply never
@@ -296,7 +302,8 @@ class Net:
         self.quant = _calib(self.ir, self.params, images,
                             mean=tuple(mean or DEFAULT_MEAN),
                             norm=tuple(norm or DEFAULT_NORM),
-                            min_channels=min_channels)
+                            min_channels=min_channels,
+                            percentile=percentile)
         self._pipelines.clear()
         self._forwards.clear()
 

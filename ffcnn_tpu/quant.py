@@ -73,10 +73,17 @@ def _int8_blobs(ir: NetIR, min_channels: int,
     return out
 
 
-def collect_blob_absmax(ir: NetIR, params, images, mean, norm) -> np.ndarray:
+def collect_blob_absmax(ir: NetIR, params, images, mean, norm,
+                        percentile: Optional[float] = None) -> np.ndarray:
     """Calibration pass: run a float32 forward on uint8 BGR ``images`` and
     return per-blob absmax, shape (len(blobs),).  Uses the same graph
-    builder as inference so quirk semantics are identical."""
+    builder as inference so quirk semantics are identical.
+
+    ``percentile`` (e.g. 99.9): clip the activation range to that
+    percentile of |x| instead of the true absmax — leaky-ReLU nets have
+    long negative tails, and spending int8 codes on one outlier coarsens
+    every in-range value (values past the clip saturate at +-127, which
+    the requantize clamp already implements)."""
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +96,12 @@ def collect_blob_absmax(ir: NetIR, params, images, mean, norm) -> np.ndarray:
     def fn(p, bgr):
         x = letterbox(bgr, net_w, net_h, jnp.asarray(mean, jnp.float32),
                       jnp.asarray(norm, jnp.float32), dtype=jnp.float32)
-        record = lambda bi, v: stats.append((bi, jnp.max(jnp.abs(v))))
+        if percentile is None:
+            stat = lambda v: jnp.max(jnp.abs(v))
+        else:
+            stat = lambda v: jnp.percentile(
+                jnp.abs(v).reshape(-1), percentile)
+        record = lambda bi, v: stats.append((bi, stat(v)))
         record(0, x)
         forward_features(ir, p, x, blob_hook=record)
         return jnp.stack([v for _, v in stats])
@@ -155,12 +167,15 @@ def build_plan(ir: NetIR, params, absmax: np.ndarray,
 
 def calibrate(ir: NetIR, params, images, mean=(0.0, 0.0, 0.0),
               norm=(1 / 255.0,) * 3, min_channels: int = 32,
-              exclude_blobs: Optional[set] = None) -> QuantPlan:
-    """One-call calibration: float statistics pass + plan construction."""
+              exclude_blobs: Optional[set] = None,
+              percentile: Optional[float] = None) -> QuantPlan:
+    """One-call calibration: float statistics pass + plan construction.
+    ``percentile``: clip activation ranges to that percentile of |x|
+    (see collect_blob_absmax); None = exact absmax."""
     images = np.asarray(images)
     if images.ndim == 3:
         images = images[None]
-    absmax = collect_blob_absmax(ir, params, images, mean, norm)
+    absmax = collect_blob_absmax(ir, params, images, mean, norm, percentile)
     return build_plan(ir, params, absmax, min_channels, exclude_blobs)
 
 

@@ -85,6 +85,30 @@ def test_plan_policy(ref_cfg, ref_weights):
             assert (li - 1) not in plan.weights
 
 
+def test_percentile_calibration_clips_scales(ref_cfg, ref_weights):
+    """FFCNN_INT8_PCT / calibrate(percentile=...): percentile-clipped
+    activation scales are <= the absmax scales (and the knob actually
+    changes the plan).  Default stays absmax — the percentile variant
+    measured WORSE end-to-end on small calibration sets
+    (docs/PERF_NOTES.md 'int8 percentile calibration')."""
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.weights import load_weights
+    from ffcnn_tpu.graph.build import params_to_pytree
+    from ffcnn_tpu.quant import calibrate
+
+    ir = parse_cfg(ref_cfg, 160, 160)
+    params = params_to_pytree(load_weights(ir, ref_weights)[0])
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (2, 160, 160, 3), dtype=np.uint8)
+    base = calibrate(ir, params, imgs)
+    clipped = calibrate(ir, params, imgs, percentile=99.0)
+    assert set(clipped.blob_scale) == set(base.blob_scale)
+    assert all(clipped.blob_scale[b] <= base.blob_scale[b] + 1e-9
+               for b in base.blob_scale)
+    assert any(clipped.blob_scale[b] < base.blob_scale[b] * 0.999
+               for b in base.blob_scale)
+
+
 @pytest.mark.slow
 def test_int8_golden_accuracy(ref_cfg, ref_weights):
     """int8 flagship on the golden image: same objects as the C reference,

@@ -3,6 +3,7 @@
 import io
 import json
 import os
+import sys
 import threading
 import urllib.request
 
@@ -313,6 +314,25 @@ def test_service_health_reflects_dead_dispatcher():
     assert "not running" in svc.error
     with pytest.raises(RuntimeError):
         svc._batcher.detect(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_loadtest_tool(server):
+    """tools/loadtest.py drives concurrent closed-loop traffic and reports
+    coalescing + latency stats against a live worker."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import loadtest
+    srv, service = server
+    service.warmup()
+    from ffcnn_tpu.imageio.bmp import bmp_save
+    rng = np.random.RandomState(5)
+    tmp = os.path.join("/tmp", f"lt_{os.getpid()}.bmp")
+    bmp_save(tmp, rng.randint(0, 256, (64, 64, 3), dtype=np.uint8))
+    with open(tmp, "rb") as f:
+        body = f.read()
+    os.unlink(tmp)
+    stats = loadtest.run_load(_url(srv, ""), body, clients=4, secs=2.0)
+    assert stats["errors"] == 0 and stats["requests"] > 0
+    assert stats["p50_ms"] is not None and stats["rps"] > 0
 
 
 def test_detect_rejects_oversized_body(server):
