@@ -113,13 +113,35 @@ def layer_costs(ir: NetIR, batch: int, dtype: str = "bf16",
     for r in (fused_runs or []):
         for li in range(r.start, r.end + 1):
             interior[li] = r
-    # Blocks XLA executes get its 1-deep conv input fusion: the expand
-    # conv's output is consumed in-register by the dw conv.
-    from .kernels.block_fused import find_fused_blocks
+    # XLA TPU input-fuses ONE producer conv into a consumer conv (HLO-
+    # verified, nesting depth capped at one — docs/PERF_NOTES.md "XLA TPU
+    # conv fusion depth").  Model: greedy pairing along conv chains — a
+    # conv inlines its producer conv when that producer is unpaired and
+    # its output has exactly one reader; the intermediate blob never
+    # materializes.  In pw/dw chains this elides every other intermediate
+    # (the measured "stages sit at HALF their naive traffic").
+    readers: Dict[int, int] = defaultdict(int)
+    for li, l in enumerate(ir.layers):
+        if l.type == LayerType.ROUTE:
+            for d in l.depends:
+                readers[d + 1] += 1
+        elif l.type == LayerType.SHORTCUT:
+            readers[li] += 1
+            readers[l.depends[0] + 1] += 1
+        else:                              # conv/pool/upsample/yolo/dropout
+            readers[li] += 1
     xla_fused_away = set()                 # blob indices never materialized
-    for s, b in find_fused_blocks(ir).items():
-        if s not in interior:
-            xla_fused_away.add(b.start + 1)    # the expand intermediate
+    paired = set()
+    for li, l in enumerate(ir.layers):
+        if l.type != LayerType.CONV or li in interior:
+            continue
+        producer = li - 1
+        if (producer >= 0 and ir.layers[producer].type == LayerType.CONV
+                and producer not in interior
+                and producer not in paired and li not in paired
+                and readers[li] == 1):
+            paired.update((producer, li))
+            xla_fused_away.add(li)         # blob li = producer's output
 
     def blob_dtype(bi: int, at_run_edge: bool) -> str:
         if quant is not None and quant.blob_is_int8(bi):
@@ -173,6 +195,16 @@ def layer_costs(ir: NetIR, batch: int, dtype: str = "bf16",
     return out
 
 
+def _stage_of(ir: NetIR, li: int) -> Tuple[int, int]:
+    """Resolution stage of layer ``li`` = its input blob's spatial dims;
+    a layer sitting right after a YOLO layer reads a zero-dim alias blob
+    (yolo produces no tensor), so fall back to its output dims."""
+    b = ir.blobs[li]
+    if b.w == 0 and li + 1 < len(ir.blobs):
+        b = ir.blobs[li + 1]
+    return (b.w, b.h)
+
+
 @dataclasses.dataclass
 class StageCost:
     stage: Tuple[int, int]         # (w, h) of the layers' input blobs
@@ -188,8 +220,7 @@ def stage_costs(ir: NetIR, costs: List[LayerCost],
     stages) — the unit PERF_NOTES' measured device times use."""
     by_stage: Dict[Tuple[int, int], List[LayerCost]] = defaultdict(list)
     for c in costs:
-        b = ir.blobs[c.index]
-        by_stage[(b.w, b.h)].append(c)
+        by_stage[_stage_of(ir, c.index)].append(c)
     out = []
     for st in sorted(by_stage, key=lambda s: -s[0] * s[1]):
         cs = by_stage[st]
@@ -216,8 +247,8 @@ def render(ir: NetIR, costs: List[LayerCost], batch: int,
     meas_by_stage: Dict[Tuple[int, int], float] = defaultdict(float)
     if measured_us:
         for c in costs:
-            b = ir.blobs[c.index]
-            meas_by_stage[(b.w, b.h)] += measured_us.get(c.index, 0.0)
+            meas_by_stage[_stage_of(ir, c.index)] += \
+                measured_us.get(c.index, 0.0)
     tot_b = tot_f = tot_floor = tot_m = 0.0
     for sc in stage_costs(ir, costs, gbps, tflops):
         row = "%4dx%-5d %10.1f %9.1f %9.1f" % (

@@ -48,4 +48,9 @@ timeout 1800 $PY tools/trace_gaps.py --batch 256 --iters 10 > $OUT/gaps.log 2>&1
 timeout 1800 $PY tools/bench_stream.py > $OUT/stream.json 2>$OUT/stream.err
 MODE=int8 timeout 1800 $PY tools/bench_stream.py > $OUT/stream_int8.json 2>$OUT/stream_int8.err
 
+# 8. TPU-side production-mode drift vs the C binary (CPU numbers in
+# PERF_NOTES; this is the honest bf16-on-MXU measurement)
+timeout 3600 $PY tools/c_differential.py --mode fast --platform device \
+    --variants v6 --skip-zoo > $OUT/drift_fast_tpu.log 2>&1
+
 echo DONE
