@@ -92,6 +92,14 @@ def test_artifact_net_serving(micro_net, tmp_path):
         for a, b in zip(g, w_):
             assert abs(a.score - b.score) < 1e-6
 
+    # async dispatch (the serving micro-batcher's overlap path) is
+    # result-identical to the synchronous call
+    got_async = anet.detect_async(batch)()
+    assert len(got_async) == 3
+    for g, w_ in zip(got_async, got):
+        assert [(d.class_id, d.score) for d in g] == \
+            [(d.class_id, d.score) for d in w_]
+
     with pytest.raises(ValueError, match="exceeds largest"):
         anet.detect(np.zeros((5, net_h, net_w, 3), np.uint8))
     with pytest.raises(ValueError, match="no artifact for"):
