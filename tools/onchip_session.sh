@@ -43,6 +43,10 @@ timeout 4000 $PY tools/validate_rows.py -o $OUT/rows.jsonl > $OUT/rows.log 2>&1
 # 6. bubble attribution (VERDICT r3 #6)
 timeout 1800 $PY tools/trace_gaps.py --batch 256 --iters 10 > $OUT/gaps.log 2>&1
 
+# 6b. per-layer device time WITH roofline floors (measured-vs-floor per
+# layer; quantifies every stage's distance from the HBM/MXU wall)
+timeout 1800 $PY -m ffcnn_tpu.cli profile --batch 256 --iters 10 > $OUT/profile_floors.txt 2>$OUT/profile_floors.err
+
 # 7. host-input streaming A/B (VERDICT r3 #6, second half): serial
 # detect() vs pipelined detect_stream() on distinct host batches.
 timeout 1800 $PY tools/bench_stream.py > $OUT/stream.json 2>$OUT/stream.err
