@@ -562,21 +562,23 @@ class Net:
 
     @staticmethod
     def _to_detections(res: NMSResult) -> List[List[Detection]]:
-        boxes = np.asarray(res.boxes)
+        # Host decode sits on the serial path of every detect(); iterate
+        # only the real detections (a handful per image), not the full
+        # (N, K) candidate grid — nonzero() is row-major so per-image
+        # order (= NMS survivor order) is preserved.
         scores = np.asarray(res.scores)
-        classes = np.asarray(res.classes)
+        mask = scores > 0
+        ii, jj = np.nonzero(mask)
+        sel_scores = scores[ii, jj].astype(float)
+        sel_classes = np.asarray(res.classes)[ii, jj]
+        sel_boxes = np.asarray(res.boxes)[ii, jj].astype(float)
         counts = np.asarray(res.count)
-        out: List[List[Detection]] = []
-        for i in range(boxes.shape[0]):
-            dets = []
-            for j in range(boxes.shape[1]):
-                if scores[i, j] <= 0:
-                    continue
-                dets.append(Detection(float(scores[i, j]),
-                                      int(classes[i, j]),
-                                      *map(float, boxes[i, j])))
-            assert len(dets) == counts[i]
-            out.append(dets)
+        out: List[List[Detection]] = [[] for _ in range(scores.shape[0])]
+        for i, s, c, (x1, y1, x2, y2) in zip(
+                ii.tolist(), sel_scores.tolist(), sel_classes.tolist(),
+                sel_boxes.tolist()):
+            out[i].append(Detection(s, int(c), x1, y1, x2, y2))
+        assert all(len(d) == n for d, n in zip(out, counts.tolist()))
         return out
 
     def memory_stats(self, batch_size: int = 1, image_size=None,
