@@ -21,9 +21,9 @@ Modes:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
+import typing
 from typing import Dict, List, Optional, Union
 
 import jax
@@ -98,10 +98,11 @@ def _planarize_heads(ir: NetIR, params: Dict, quant):
     return out, flags
 
 
-@dataclasses.dataclass(frozen=True)
-class Detection:
+class Detection(typing.NamedTuple):
     """One detection in original-image pixel coords (reference BBOX,
-    ffcnn.h:29-32)."""
+    ffcnn.h:29-32).  NamedTuple, not dataclass: construction cost sits on
+    the host decode path of every detect() (thousands per batch), and
+    NamedTuple builds ~10x faster at the same attribute API."""
     score: float
     class_id: int
     x1: float
