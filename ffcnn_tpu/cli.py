@@ -128,6 +128,11 @@ def cmd_profile(args) -> int:
         batch=np.zeros((args.batch, args.size, args.size, 3), np.uint8),
         iters=args.iters)
     sys.stdout.write(rep.render())
+    # Stage-level roofline with the measured device times merged in
+    from . import roofline
+    sys.stdout.write("\n" + roofline.render(
+        net.ir, net.roofline_costs(args.batch), args.batch,
+        measured_us={lp.index: lp.us_per_step for lp in rep.layers}))
     m = net.memory_stats(batch_size=args.batch)
     print("memory (batch %d): peak %.1f MB  (args %.1f, temp %.1f, "
           "output %.1f, code %.1f)"

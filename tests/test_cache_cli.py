@@ -136,6 +136,20 @@ def test_cli_dump_and_batch(micro_files, tmp_path, capsys):
     assert [l for l in out2.splitlines() if "score:" in l] == dets_single
 
 
+def test_cli_profile_renders_roofline(micro_files, capsys):
+    """ffcnn profile prints the per-layer table plus the merged
+    measured-vs-floor stage roofline."""
+    from ffcnn_tpu import cli
+    cfg, wpath = micro_files
+    rc = cli.main(["profile", "--cfg", cfg, "--weights", wpath,
+                   "--batch", "2", "--size", "64", "--iters", "2",
+                   "--mode", "parity"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "roofline (batch 2" in out and "TOTAL" in out
+    assert "x floor" in out and "memory (batch 2)" in out
+
+
 def test_profile_report_renders(micro_files):
     """profile_layers runs and renders on any backend (attribution quality
     depends on the backend's trace; smoke only on CPU)."""
