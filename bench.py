@@ -40,6 +40,23 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def noisy_batches(img, batch, n_batches, seed=0):
+    """The benchmark workload recipe, shared with tools/bench_stream.py:
+    real image content (the reference's own benchmark loops test.bmp,
+    readme.txt:114 — random-noise frames decode to hundreds of spurious
+    boxes, which is not a detection workload) plus per-image noise so
+    frames are distinct."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    base = np.broadcast_to(img, (batch,) + img.shape)
+    out = []
+    for _ in range(n_batches):
+        noise = rng.randint(0, 8, base.shape, dtype=np.uint8)
+        out.append(np.clip(base.astype(np.int16) + noise, 0, 255)
+                   .astype(np.uint8))
+    return out
+
+
 def _check_golden(dets, golden_file):
     golden = []
     with open(golden_file) as f:
@@ -119,11 +136,8 @@ def throughput(mode="fast", net=None):
     # above-threshold boxes per image, which is not a detection workload.
     # Per-image noise keeps frames distinct.
     img = bmp_load(os.path.join(FIXTURES, "test320.bmp"))
-    rng = np.random.RandomState(0)
-    for b in BATCHES:
-        batch = np.broadcast_to(img, (b,) + img.shape).copy()
-        noise = rng.randint(0, 8, batch.shape, dtype=np.uint8)
-        batch = np.clip(batch.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    for bi, b in enumerate(BATCHES):
+        (batch,) = noisy_batches(img, b, 1, seed=bi)
         bj = jnp.asarray(batch)                 # one-time host->HBM transfer
         res = net.detect_device(bj)             # compile
         jax.block_until_ready(res)
@@ -153,11 +167,7 @@ def throughput_stream(net):
 
     img = bmp_load(os.path.join(FIXTURES, "test320.bmp"))
     b, n_batches = 256, 6
-    rng = np.random.RandomState(0)
-    base = np.broadcast_to(img, (b,) + img.shape)
-    batches = [np.clip(base.astype(np.int16)
-                       + rng.randint(0, 8, base.shape, dtype=np.uint8),
-                       0, 255).astype(np.uint8) for _ in range(n_batches)]
+    batches = noisy_batches(img, b, n_batches)
     for _ in net.detect_stream(batches[:1]):       # warm (compile hits cache)
         pass
     dt = float("inf")
@@ -185,11 +195,7 @@ def throughput_demo_geometry():
     net = Net.load(CFG, WEIGHTS, 640, 448, mode="fast")
     img = bmp_load("/root/reference/test.bmp")
     b = 128
-    rng = np.random.RandomState(0)
-    batch = np.broadcast_to(img, (b,) + img.shape).copy()
-    batch = np.clip(batch.astype(np.int16)
-                    + rng.randint(0, 8, batch.shape, dtype=np.uint8),
-                    0, 255).astype(np.uint8)
+    (batch,) = noisy_batches(img, b, 1)
     bj = jnp.asarray(batch)
     jax.block_until_ready(net.detect_device(bj))
     dt = float("inf")

@@ -503,23 +503,28 @@ class Net:
         ``depth`` bounds in-flight HBM (depth x batch buffers).  Dense-
         scene semantics match :meth:`detect`: parity mode re-runs a
         saturated batch at a larger top-k; fast/int8 warn once."""
+        # validate eagerly (this wrapper runs at CALL time; the generator
+        # body below only runs on first iteration)
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
-        from collections import deque
-        inflight: deque = deque()           # completion callables
-        for batch in batches:
-            batch = np.asarray(batch)
-            if batch.ndim != 4 or batch.shape[-1] != 3:
-                raise ValueError(
-                    f"expected (N, H, W, 3) uint8 batches, got {batch.shape}")
-            # detect_async starts the host->HBM copy and enqueues the
-            # compute — both asynchronous, so the loop immediately proceeds
-            # to either the next batch or the oldest result.
-            inflight.append(self.detect_async(batch, mean, norm))
-            if len(inflight) >= depth:
+
+        def gen():
+            from collections import deque
+            inflight: deque = deque()       # completion callables
+            for batch in batches:
+                batch = np.asarray(batch)
+                if batch.ndim != 4 or batch.shape[-1] != 3:
+                    raise ValueError(f"expected (N, H, W, 3) uint8 "
+                                     f"batches, got {batch.shape}")
+                # detect_async starts the host->HBM copy and enqueues the
+                # compute — both asynchronous, so the loop immediately
+                # proceeds to either the next batch or the oldest result.
+                inflight.append(self.detect_async(batch, mean, norm))
+                if len(inflight) >= depth:
+                    yield inflight.popleft()()
+            while inflight:
                 yield inflight.popleft()()
-        while inflight:
-            yield inflight.popleft()()
+        return gen()
 
     def detect_device(self, batch, mean=DEFAULT_MEAN, norm=DEFAULT_NORM,
                       topk: Optional[int] = None) -> NMSResult:

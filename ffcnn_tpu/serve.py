@@ -76,6 +76,11 @@ class MicroBatcher:
                         "dispatch_errors": 0, "overloaded": 0,
                         "padded_slots": 0, "batch_hist": {}}
         self._dispatch_ms = deque(maxlen=512)
+        # Rounds overlap only when the net can dispatch without blocking;
+        # for sync-only nets the previous round must be fanned out FIRST
+        # (its results are already done — holding them behind the next
+        # round's blocking detect() would double caller latency).
+        self._async = callable(getattr(net, "detect_async", None))
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -142,19 +147,20 @@ class MicroBatcher:
     def _dispatch(self, group):
         """Assemble one padded batch and start its device round.  Returns
         (finish, t0): ``finish()`` blocks until results and returns the
-        per-image Detection lists.  Nets exposing ``detect_async`` (Net)
-        get true overlap — the host->HBM copy and compute run while the
-        dispatcher assembles/dispatches the NEXT round and fans out the
-        PREVIOUS round's results; others (DPNet, ArtifactNet) run inline."""
+        per-image Detection lists.  Nets exposing ``detect_async`` (Net,
+        DPNet, ArtifactNet all do) get true overlap — the host->HBM copy
+        and compute run while the dispatcher assembles/dispatches the
+        NEXT round and fans out the PREVIOUS round's results; a net with
+        only ``detect`` runs inline (and the loop completes the previous
+        round first)."""
         import time
         n = self._bucket(len(group))
         batch = np.zeros((n,) + group[0].img.shape, np.uint8)
         for i, p in enumerate(group):
             batch[i] = p.img
         t0 = time.perf_counter()
-        dispatch = getattr(self.net, "detect_async", None)
-        if dispatch is not None:
-            return dispatch(batch), t0
+        if self._async:
+            return self.net.detect_async(batch), t0
         results = self.net.detect(batch)
         return (lambda: results), t0
 
@@ -190,9 +196,14 @@ class MicroBatcher:
                     if self._closed:
                         break
                     group = self._take_group() if self._groups else None
+                if group is not None and not self._async and prev is not None:
+                    # Sync-only net: the previous round's results are done;
+                    # fan them out before blocking in the next dispatch.
+                    self._complete(*prev)
+                    prev = None
                 if group is not None:
-                    # Start this round BEFORE completing the previous one:
-                    # under load the device is never idle while the
+                    # Async net: start this round BEFORE completing the
+                    # previous one — the device is never idle while the
                     # dispatcher copies pixels or decodes results.
                     try:
                         nxt = (group,) + self._dispatch(group)
@@ -208,8 +219,15 @@ class MicroBatcher:
                     self._complete(*prev)
                 prev = nxt
             except BaseException as e:  # noqa: BLE001 — never die silently
-                prev = None
-                self._fail_all(RuntimeError(f"batcher dispatcher error: {e!r}"))
+                err = RuntimeError(f"batcher dispatcher error: {e!r}")
+                if prev is not None:
+                    # the in-flight round's callers are no longer queued;
+                    # fail them explicitly or they block until wait_timeout
+                    for p in prev[0]:
+                        p.error = err
+                        p.event.set()
+                    prev = None
+                self._fail_all(err)
         if prev is not None:
             self._complete(*prev)
         self._fail_all(RuntimeError("batcher closed"))

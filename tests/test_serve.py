@@ -271,10 +271,18 @@ def test_microbatch_overlapped_rounds_do_not_mix():
     with concurrent.futures.ThreadPoolExecutor(8) as ex:
         futs = [ex.submit(mb.detect, img) for _ in range(8)]
         results = [f.result(timeout=10) for f in futs]
-    # every result is a det tuple for one slot of some round; the per-round
-    # slot indices must be consistent (no cross-round leakage)
     assert all(r[0] == "det" and r[2] == (8, 8, 3) for r in results)
     assert net.rounds >= 1
+    # No cross-round leakage: each caller holds a DISTINCT (round, slot)
+    # pair, and within every round the occupied slots are exactly
+    # 0..k-1 (the group's own images, not another round's padding)
+    pairs = [(r[1], r[3]) for r in results]
+    assert len(set(pairs)) == len(pairs)
+    by_round = {}
+    for rnd, slot in pairs:
+        by_round.setdefault(rnd, []).append(slot)
+    for rnd, slots in by_round.items():
+        assert sorted(slots) == list(range(len(slots))), (rnd, slots)
 
 
 def test_microbatch_async_completion_failure_fans_out():

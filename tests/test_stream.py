@@ -66,8 +66,7 @@ def test_detect_stream_rejects_bad_shapes(net):
     with pytest.raises(ValueError):
         list(net.detect_stream([np.zeros((64, 64, 3), np.uint8)]))
     with pytest.raises(ValueError):
-        # generator: the depth check fires on first iteration
-        list(net.detect_stream([], depth=0))
+        net.detect_stream([], depth=0)      # raises at CALL time
 
 
 def test_detect_stream_empty(net):

@@ -59,13 +59,8 @@ def main():
         enable_compile_cache()
     net = Net.load(CFG, WEIGHTS, mode=os.environ.get("MODE", "fast"))
     img = bmp_load(os.path.join(REPO, "tests", "fixtures", "test320.bmp"))
-    rng = np.random.RandomState(0)
-    base = np.broadcast_to(img, (BATCH,) + img.shape)
-    batches = []
-    for i in range(N_BATCHES):
-        noise = rng.randint(0, 8, base.shape, dtype=np.uint8)
-        batches.append(np.clip(base.astype(np.int16) + noise, 0, 255)
-                       .astype(np.uint8))
+    from bench import noisy_batches       # the shared workload recipe
+    batches = noisy_batches(img, BATCH, N_BATCHES)
     total = BATCH * N_BATCHES
 
     # Warm the pipeline (compile) before timing either path.

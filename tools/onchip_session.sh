@@ -53,8 +53,10 @@ timeout 1800 $PY tools/bench_stream.py > $OUT/stream.json 2>$OUT/stream.err
 MODE=int8 timeout 1800 $PY tools/bench_stream.py > $OUT/stream_int8.json 2>$OUT/stream_int8.err
 
 # 8. TPU-side production-mode drift vs the C binary (CPU numbers in
-# PERF_NOTES; this is the honest bf16-on-MXU measurement)
-timeout 3600 $PY tools/c_differential.py --mode fast --platform device \
-    --variants v6 --skip-zoo > $OUT/drift_fast_tpu.log 2>&1
+# PERF_NOTES; this is the honest bf16-on-MXU measurement).  v0 first:
+# it is the exact-parity oracle the CPU baseline used — v6 carries its
+# own dw5x5-bug slack and is reported for the published-default context.
+timeout 5400 $PY tools/c_differential.py --mode fast --platform device \
+    --variants v0 v6 --skip-zoo > $OUT/drift_fast_tpu.log 2>&1
 
 echo DONE
