@@ -112,9 +112,15 @@ def test_net_profile_attaches_floors():
 
 def test_cli_roofline(capsys):
     from ffcnn_tpu import cli
-    assert cli.main(["roofline", "--batch", "8"]) == 0
+    # fused plan modeled only at batches the pipeline would actually
+    # trace fused runs for (batch % 128 == 0, kernels/block_fused.py)
+    assert cli.main(["roofline", "--batch", "128"]) == 0
     out = capsys.readouterr().out
     assert "TOTAL" in out and "fused runs" in out
+    assert cli.main(["roofline", "--batch", "8"]) == 0
+    cap = capsys.readouterr()
+    assert "TOTAL" in cap.out and "fused runs" not in cap.out
+    assert "batch" in cap.err                 # the explanatory note
     assert cli.main(["roofline", "--batch", "8", "--no-fused",
                      "--dtype", "f32"]) == 0
     assert "TOTAL" in capsys.readouterr().out
