@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Digest /tmp/onchip measurement artifacts into docs/ONCHIP_R3.md.
+
+Runs as the LAST stage of tools/onchip_session.sh: the queue's raw
+outputs live in /tmp (not committed), so this writes the measured
+results into the repo — if the tunnel recovers unattended and the
+session ends, the round still carries its on-chip evidence.
+
+    /opt/venv/bin/python tools/digest_onchip.py [--dir /tmp/onchip]
+"""
+import argparse
+import glob
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "docs", "ONCHIP_R3.md")
+
+
+def _jsonl(path):
+    recs = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        recs.append(json.loads(line))
+                    except ValueError:
+                        pass
+    return recs
+
+
+def _tail(path, n=30):
+    if not os.path.exists(path):
+        return None
+    with open(path, errors="replace") as f:
+        lines = f.read().splitlines()
+    return "\n".join(lines[-n:])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/onchip")
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args(argv)
+    d = args.dir
+
+    md = ["# On-chip measurement digest (round 3)",
+          "",
+          f"Generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}"
+          f" by tools/digest_onchip.py from {d} (raw queue outputs; see"
+          " tools/onchip_session.sh for the stages)."]
+
+    regions = _jsonl(os.path.join(d, "regions.jsonl"))
+    if regions:
+        md += ["", "## Fused-region config matrix (tools/bench_regions.py)",
+               "", "| config | img/s | ms/batch | golden | batched golden |",
+               "|---|---|---|---|---|"]
+        for r in sorted(regions, key=lambda r: -(r.get("img_s") or 0)):
+            md.append("| %s | %s | %s | %s | %s |" % (
+                r.get("config"), r.get("img_s", r.get("error", "?")),
+                r.get("ms_batch", "-"), r.get("golden_ok", "-"),
+                r.get("golden_batch_ok", "-")))
+
+    int8 = []
+    for p in sorted(glob.glob(os.path.join(d, "int8_*.json"))):
+        for r in _jsonl(p):
+            r["_src"] = os.path.basename(p)
+            int8.append(r)
+    if int8:
+        md += ["", "## int8 A/B (tools/bench_flags.py, MODE=int8)", "",
+               "| run | img/s | golden | batched golden |", "|---|---|---|---|"]
+        for r in int8:
+            md.append("| %s | %s | %s | %s |" % (
+                r["_src"], r.get("img_s", r.get("error", "?")),
+                r.get("golden_ok", "-"), r.get("golden_batch_ok", "-")))
+
+    tuning = _tail(os.path.join(d, "tuning.json"), 60)
+    if tuning:
+        md += ["", "## Tuned-defaults decision (tools/apply_tuning.py)", "",
+               "```json", tuning, "```"]
+
+    bench = _jsonl(os.path.join(d, "bench.json"))
+    if bench:
+        md += ["", "## Headline bench (bench.py, tuned defaults)", "",
+               "```json", json.dumps(bench[-1], indent=1), "```"]
+
+    for name, title in (("stream.json", "Host-input stream A/B (fast)"),
+                        ("stream_int8.json", "Host-input stream A/B (int8)")):
+        recs = _jsonl(os.path.join(d, name))
+        if recs:
+            md += ["", f"## {title}", "", "```json",
+                   json.dumps(recs[-1], indent=1), "```"]
+
+    gaps = _tail(os.path.join(d, "gaps.log"), 40)
+    if gaps:
+        md += ["", "## Wall-vs-trace bubble attribution (tools/trace_gaps.py)",
+               "", "```", gaps, "```"]
+
+    prof = _tail(os.path.join(d, "profile_floors.txt"), 40)
+    if prof:
+        md += ["", "## Measured-vs-floor profile (ffcnn profile, batch 256)",
+               "", "```", prof, "```"]
+
+    drift = _tail(os.path.join(d, "drift_fast_tpu.log"), 12)
+    if drift:
+        md += ["", "## TPU-side fast-mode drift vs the C binary", "",
+               "```", drift, "```"]
+
+    rows = _jsonl(os.path.join(d, "rows.jsonl"))
+    if rows:
+        md += ["", "## VMEM rows boundary sweep (tools/validate_rows.py)", "",
+               f"{len(rows)} records; failures: "
+               f"{sum(1 for r in rows if r.get('error'))} — raw in "
+               f"{d}/rows.jsonl"]
+
+    if len(md) <= 3:
+        md += ["", "(no artifacts found — queue has not run)"]
+    with open(args.out, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(f"wrote {args.out} ({len(md)} lines)")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
