@@ -96,8 +96,15 @@ def _gen_cfg(rng: np.random.RandomState, acts=ACTS,
             cur = len(shapes)
             lines += ["[route]",
                       "layers = " + ", ".join(
-                          str(p if p > 0 else p - cur) for p in picks), ""]
+                          str(p if p > 0 else p - cur) for p in picks)]
             c = sum(shapes[p][2] for p in picks)
+            # route groups/group_id (the yolov4-tiny CSP-split extension —
+            # NOT parsed by the C reference, so full-dialect graphs only)
+            if (not c_safe and len(picks) == 1 and c % 2 == 0
+                    and rng.rand() < 0.35):
+                lines += ["groups=2", f"group_id={int(rng.randint(0, 2))}"]
+                c //= 2
+            lines += [""]
         else:
             continue
         shapes.append((h, w, c))
