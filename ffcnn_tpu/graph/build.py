@@ -61,7 +61,10 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                      quant=None, blob_hook=None, fused_runs=None,
                      head_runs=None, fused_interpret: bool = False,
                      conv0_int8: bool = False,
-                     conv0_pallas: bool = False) -> List:
+                     conv0_pallas: bool = False,
+                     start: int = 0, stop: Optional[int] = None,
+                     blobs_in: Optional[Dict[int, jnp.ndarray]] = None,
+                     keep_blobs: Optional[List[int]] = None) -> List:
     """Run the graph body.  ``x``: (N, H, W, C) net input.  Returns the raw
     (N, h, w, 3*(5+classes)) feature map feeding each yolo layer, in graph
     order.  ``params`` is a pytree {layer_index: {weights, scale, bias}} (or
@@ -90,8 +93,19 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     ``conv0_int8``: run the first conv straight off the raw uint8 pixels on
     the int8 MXU (ops.conv.conv0_int8_from_u8) instead of casting the input
     to float first — applies only when x is uint8, the first layer is a
-    dense conv, and blob 0 has no other consumers."""
-    use_c0q = (conv0_int8 and x.dtype == jnp.uint8
+    dense conv, and blob 0 has no other consumers.
+
+    Segment execution (pipeline parallelism, parallel/pp.py): ``start``/
+    ``stop`` bound the layer range [start, stop); ``blobs_in`` seeds the
+    blob table for cross-boundary inputs (``x`` may then be None);
+    ``keep_blobs`` additionally returns the listed blob values —
+    the return becomes ``(heads, {blob_index: value})``.  Defaults
+    reproduce the whole-graph behavior and return type exactly."""
+    segmented = keep_blobs is not None
+    if stop is None:
+        stop = len(ir.layers)
+    use_c0q = (start == 0 and x is not None
+               and conv0_int8 and x.dtype == jnp.uint8
                and ir.layers[0].type == LayerType.CONV
                and ir.layers[0].groups == 1
                and (quant is None or 0 not in quant.weights)
@@ -104,7 +118,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     # into the region run starting at layer 1 — blob 1 never takes an NHWC
     # detour, so it must have no consumers outside that run.
     l0 = ir.layers[0]
-    use_c0p = (conv0_pallas and not use_c0q and x.dtype == jnp.uint8
+    use_c0p = (start == 0 and x is not None
+               and conv0_pallas and not use_c0q and x.dtype == jnp.uint8
                and fused_runs is not None
                and any(r.start == 1 for r in fused_runs)
                and l0.type == LayerType.CONV and l0.groups == 1
@@ -116,7 +131,7 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                            for l in ir.layers
                            if l.type in (LayerType.ROUTE,
                                          LayerType.SHORTCUT)))
-    if use_c0q or use_c0p:
+    if use_c0q or use_c0p or x is None:
         float_dtype = input_dtype or jnp.float32
     else:
         if not jnp.issubdtype(x.dtype, jnp.floating):
@@ -125,6 +140,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     nlayers = len(ir.layers)
     blobs: List[Optional[jnp.ndarray]] = [None] * (nlayers + 1)
     blobs[0] = x
+    for bi, v in (blobs_in or {}).items():
+        blobs[bi] = v
     heads: List[jnp.ndarray] = []
 
     def scale_of(bi):
@@ -237,7 +254,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     run_map = {r.start: r for r in (fused_runs or [])}
     head_map = {r.start: r for r in (head_runs or [])}
     skip_until = -1
-    for li, layer in enumerate(ir.layers):
+    for li in range(start, stop):
+        layer = ir.layers[li]
         if li < skip_until:
             continue
         if li == 0 and use_c0p:
@@ -295,6 +313,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             blobs[li + 1] = run_layer(li, layer, blobs[li])
             if blob_hook is not None and blobs[li + 1] is not None:
                 blob_hook(li + 1, deq(li + 1))
+    if segmented:
+        return heads, {bi: blobs[bi] for bi in keep_blobs}
     return heads
 
 

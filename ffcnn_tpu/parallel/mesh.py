@@ -31,20 +31,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(devices: Optional[Sequence] = None, *, model_parallel: int = 1,
-              spatial_parallel: int = 1) -> Mesh:
-    """Build a (data, spatial, model) mesh over the given (or all) devices.
-    Axes of size 1 are free — the same pipeline code runs on any shape."""
+              spatial_parallel: int = 1, pipeline_parallel: int = 1) -> Mesh:
+    """Build a (data, spatial, model[, pipe]) mesh over the given (or all)
+    devices.  Axes of size 1 are free — the same pipeline code runs on any
+    shape.  ``pipeline_parallel`` > 1 appends a minor ``pipe`` axis (minor =
+    consecutive stages land on adjacent devices, so the per-tick ppermute
+    boundary hop in parallel/pp.py rides neighbor ICI links); the 3-axis
+    name tuple is kept unchanged otherwise for existing meshes."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if n % (model_parallel * spatial_parallel) != 0:
+    per = model_parallel * spatial_parallel * pipeline_parallel
+    if n % per != 0:
         raise ValueError(
             f"{n} devices not divisible by model_parallel={model_parallel} "
-            f"* spatial_parallel={spatial_parallel}")
-    arr = np.array(devices).reshape(n // (model_parallel * spatial_parallel),
-                                    spatial_parallel, model_parallel)
+            f"* spatial_parallel={spatial_parallel} "
+            f"* pipeline_parallel={pipeline_parallel}")
+    if pipeline_parallel > 1:
+        arr = np.array(devices).reshape(n // per, spatial_parallel,
+                                        model_parallel, pipeline_parallel)
+        return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS, PIPE_AXIS))
+    arr = np.array(devices).reshape(n // per, spatial_parallel,
+                                    model_parallel)
     return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS))
 
 
