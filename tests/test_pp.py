@@ -149,6 +149,32 @@ class TestPPEquivalence:
         assert_results_match(got, want)
 
 
+class TestPPRandomGraphs:
+    @pytest.mark.parametrize("seed", [11, 23, 47, 91])
+    def test_random_graph_equivalence(self, seed):
+        """Random full-dialect graphs (mish, route groups, dropout aliases)
+        through a 2-stage pipeline match the single-device pipeline — the
+        live-set wire protocol must survive arbitrary route/shortcut
+        topology, not just the flagship's."""
+        from test_random_graphs import SIZE, _gen_cfg
+
+        from ffcnn_tpu.darknet.weights import load_weights as _lw, \
+            synth_weights_bytes
+
+        rng = np.random.RandomState(seed)
+        cfg_text = _gen_cfg(rng)
+        ir = parse_cfg(cfg_text, SIZE, SIZE, is_path=False)
+        raw, _ = _lw(ir, synth_weights_bytes(ir, seed=seed, obj_bias=1.5))
+        params = params_to_pytree(raw)
+        mesh = make_mesh(jax.devices()[:2], pipeline_parallel=2)
+        fn = build_pp_pipeline(ir, params, mesh, SIZE, SIZE,
+                               n_microbatches=2, topk=TOPK)
+        images = _images(4, h=SIZE, w=SIZE, seed=seed)
+        got = fn(jnp.asarray(images))
+        want = single_device_reference(ir, params, images)
+        assert_results_match(got, want)
+
+
 class TestSegmentedForward:
     def test_segments_compose_to_whole(self, flagship_small):
         """forward_features(start/stop/blobs_in) glued at an arbitrary cut
