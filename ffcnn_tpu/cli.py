@@ -75,6 +75,12 @@ def cmd_bench(args) -> int:
 
         net = Net.load(args.cfg, args.weights, args.size, args.size,
                        mode=args.mode)
+        if args.mode == "int8" and net.quant is None:
+            # build_dp_pipeline wraps _pipeline_for directly, bypassing
+            # detect_device's first-batch self-calibration — without a
+            # plan the traced program would be the float pipeline
+            # silently labeled int8.
+            net.calibrate(batch[: min(8, len(batch))])
         mesh = make_mesh()
         fn = build_dp_pipeline(net, mesh, args.size, args.size)
         bj = jnp.asarray(batch)
@@ -203,9 +209,10 @@ def cmd_roofline(args) -> int:
                   f"actually traces at batch {args.batch}", file=sys.stderr)
     from .tuning import get_flag
     store = get_flag("FFCNN_FUSED_STORE", "")
+    # only 'f32' is implemented by the fused kernels (net.roofline_costs)
     costs = roofline.layer_costs(
         ir, args.batch, args.dtype, fused_runs=runs,
-        store_dtype=store if store in ("f32", "bf16", "int8") else None)
+        store_dtype=store if store == "f32" else None)
     sys.stdout.write(roofline.render(ir, costs, args.batch))
     if runs:
         print("fused runs: %s" % ", ".join(

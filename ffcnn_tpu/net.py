@@ -239,11 +239,15 @@ class Net:
         if self._head_runs and head_runs_usable(batch_size):
             runs += list(self._head_runs)   # same start/end traffic shape
         store = get_flag("FFCNN_FUSED_STORE", "")
+        # run_blocks_cs implements only the 'f32' boundary-storage
+        # override (anything else stores the input dtype); modeling
+        # unimplemented values would overstate headroom in the
+        # measured-vs-floor columns.
         return roofline.layer_costs(
             self.ir, batch_size,
             dtype="f32" if self.mode == "parity" else "bf16",
             fused_runs=runs or None, quant=self.quant,
-            store_dtype=store if store in ("f32", "bf16", "int8") else None)
+            store_dtype=store if store == "f32" else None)
 
     def profile_layers(self, batch=None, iters: int = 10):
         """Hardware per-layer profile (profiling.py): runs ``iters`` jitted

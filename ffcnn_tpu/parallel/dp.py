@@ -197,11 +197,12 @@ class DPNet:
         self.ndata = self.mesh.shape[DATA_AXIS]
         self._fns = {}
 
-    def _fn(self, img_h: int, img_w: int):
-        key = (img_h, img_w)
+    def _fn(self, img_h: int, img_w: int, topk=None):
+        key = (img_h, img_w, topk)
         fn = self._fns.get(key)
         if fn is None:
-            fn = build_dp_pipeline(self.net, self.mesh, img_h, img_w)
+            fn = build_dp_pipeline(self.net, self.mesh, img_h, img_w,
+                                   topk=topk)
             self._fns[key] = fn
         return fn
 
@@ -230,12 +231,24 @@ class DPNet:
             import warnings
 
             from ..net import Net
-            if bool(np.asarray(res.saturated)[:n].any()):
-                warnings.warn(
-                    "NMS top-k saturated: some candidates were dropped "
-                    "pre-suppression; raise the net's topk for crowded "
-                    "scenes.", RuntimeWarning, stacklevel=2)
-            return Net._to_detections(res)[:n]
+
+            # Same dense-scene semantics as Net._finish: parity mode
+            # grows K and re-dispatches until the candidate census fits
+            # (preserving reference exactness on crowded scenes);
+            # fast/int8 warn once.
+            out = res
+            max_k = self.net._max_candidates()
+            k = min(self.net.topk, max_k)
+            while bool(np.asarray(out.saturated)[:n].any()) and k < max_k:
+                k = min(max_k, k * 4)
+                if self.net.mode != "parity":
+                    warnings.warn(
+                        "NMS top-k saturated: some candidates were dropped "
+                        "pre-suppression; raise the net's topk for crowded "
+                        "scenes.", RuntimeWarning, stacklevel=2)
+                    break
+                out = self._fn(h, w, topk=k)(jnp.asarray(batch))
+            return Net._to_detections(out)[:n]
         return finish
 
     def warmup(self, image_sizes=None, batch_sizes=None) -> None:

@@ -123,3 +123,35 @@ def test_warmup_topk_ladder_precompiles_retry_buckets(micro):
     dets = net.detect(img)
     assert len(dets) > 8
     assert set(net._pipelines) == before
+
+
+def test_dpnet_parity_auto_topk_matches_unbounded(micro):
+    """DPNet (serve --dp drop-in) honors the same parity-mode retry
+    contract as Net.detect: a saturated crowded scene grows K and
+    re-dispatches over the mesh instead of returning a truncated set."""
+    from ffcnn_tpu.parallel import DPNet, make_mesh
+
+    ir, params, img = micro
+    want = Net(ir, params, mode="parity", topk=4096).detect(img)
+    assert len(want) > 8
+    mesh = make_mesh(jax.devices()[:2])
+    dp = DPNet(Net(ir, params, mode="parity", topk=8), mesh)
+    got = dp.detect(np.broadcast_to(img, (2,) + img.shape).copy())
+    for dets in got:
+        assert len(dets) == len(want)
+        for d, w in zip(dets, want):
+            assert d.class_id == w.class_id
+            np.testing.assert_allclose(
+                [d.score, d.x1, d.y1, d.x2, d.y2],
+                [w.score, w.x1, w.y1, w.x2, w.y2], rtol=1e-6, atol=1e-6)
+
+
+def test_dpnet_fast_mode_warns_on_saturation(micro):
+    from ffcnn_tpu.parallel import DPNet, make_mesh
+
+    ir, params, img = micro
+    dp = DPNet(Net(ir, params, mode="fast", topk=8),
+               make_mesh(jax.devices()[:2]))
+    with pytest.warns(RuntimeWarning, match="saturated"):
+        dets = dp.detect(np.broadcast_to(img, (2,) + img.shape).copy())
+    assert all(len(d) == 8 for d in dets)

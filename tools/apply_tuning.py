@@ -94,7 +94,13 @@ def pick_int8(paths, margin):
     if not gated:
         decision["verdict"] = "no gated int8 records"
         return {}, decision
-    base = min(gated, key=lambda r: len(r.get("env") or {}))
+    # The baseline must be a genuinely env-free (code-default) run; if it
+    # errored or failed its gate, skip rather than compare tuned-vs-tuned.
+    bases = [r for r in gated if not (r.get("env") or {})]
+    if not bases:
+        decision["verdict"] = "no gated env-free int8 baseline — skip"
+        return {}, decision
+    base = max(bases, key=lambda r: r["img_s"])
     best = max(gated, key=lambda r: r["img_s"])
     decision.update(baseline_img_s=base["img_s"], best_img_s=best["img_s"],
                     best_src=best["_src"],

@@ -113,7 +113,7 @@ def main(argv=None) -> int:
     if rows:
         md += ["", "## VMEM rows boundary sweep (tools/validate_rows.py)", "",
                f"{len(rows)} records; failures: "
-               f"{sum(1 for r in rows if r.get('error'))} — raw in "
+               f"{sum(1 for r in rows if not r.get('ok', True))} — raw in "
                f"{d}/rows.jsonl"]
 
     if len(md) <= 3:
