@@ -37,6 +37,16 @@ timeout 300 $PY tools/apply_tuning.py --regions $OUT/regions.jsonl \
 # number early in case later stages hit a wedge
 timeout 5400 $PY bench.py > $OUT/bench.json 2>$OUT/bench.log
 
+# 4b. int8 ON TOP of the tuned defaults (stage 2 measured int8 against
+# CODE defaults; if stage 3 folded a regions winner, the int8 knob must
+# be re-scored in that context).  apply_tuning is re-run with BOTH
+# sources so the merged flags keep the regions winner (the tool
+# overwrites tuned_defaults.json wholesale).
+MODE=int8 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_tuned_base.json 2>$OUT/int8_tuned_base.err
+MODE=int8 FFCNN_INT8_MINC=24 timeout 1800 $PY tools/bench_flags.py > $OUT/int8_tuned_minc24.json 2>$OUT/int8_tuned_minc24.err
+timeout 300 $PY tools/apply_tuning.py --regions $OUT/regions.jsonl \
+    --int8 "$OUT/int8_tuned_*.json" > $OUT/tuning2.json 2>$OUT/tuning2.err
+
 # 5. VMEM boundary sweep (ADVICE r2 #5 validate branch)
 timeout 4000 $PY tools/validate_rows.py -o $OUT/rows.jsonl > $OUT/rows.log 2>&1
 
