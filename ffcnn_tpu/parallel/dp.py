@@ -251,15 +251,29 @@ class DPNet:
             return Net._to_detections(out)[:n]
         return finish
 
-    def warmup(self, image_sizes=None, batch_sizes=None) -> None:
+    def warmup(self, image_sizes=None, batch_sizes=None,
+               topk_ladder: bool = False) -> None:
+        """Precompile DP programs for the given sizes.  ``topk_ladder=True``
+        additionally precompiles every K bucket the parity-mode saturation
+        retry can reach (same production caveat as Net.warmup: a crowded
+        burst otherwise stalls 40-140 s per new K on TPU)."""
         import numpy as np
         net_w = self.net.ir.blobs[0].w
         net_h = self.net.ir.blobs[0].h
+        ks = [None]
+        if topk_ladder:
+            k, mx = min(self.net.topk, self.net._max_candidates()), \
+                self.net._max_candidates()
+            while k < mx:
+                k = min(mx, k * 4)
+                ks.append(k)
         for (h, w) in (image_sizes or [(net_h, net_w)]):
             for nb in (batch_sizes or [self.ndata]):
                 m = max(-(-nb // self.ndata) * self.ndata, self.ndata)
-                jax.block_until_ready(
-                    self._fn(h, w)(jnp.zeros((m, h, w, 3), jnp.uint8)))
+                for k in ks:
+                    jax.block_until_ready(
+                        self._fn(h, w, topk=k)(
+                            jnp.zeros((m, h, w, 3), jnp.uint8)))
 
     def dump(self) -> str:
         return (self.net.dump()

@@ -31,7 +31,10 @@ For darknet-scale models DP is strictly better (no bubble, no boundary
 traffic); PP exists for graphs whose per-stage footprint or latency budget
 exceeds one chip, and it composes with DP on a (data, pipe) mesh — the
 microbatch dim shards over ``data`` while stages split over ``pipe``.
-Numerics are pinned to the single-device pipeline by tests/test_pp.py.
+Stage bodies trace the plain XLA path (no fused Pallas runs, no int8
+plan — the per-chip-fastest single-program deployment is build_dp_pipeline;
+see its docstring).  Numerics are pinned to the single-device pipeline by
+tests/test_pp.py.
 """
 
 from __future__ import annotations
