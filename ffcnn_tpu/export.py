@@ -292,6 +292,12 @@ class ArtifactNet:
             return Net._to_detections(res)[:n]
         return finish
 
+    def detect_stream(self, batches, depth: int = 2):
+        """Pipelined detection over an iterable of uint8 (N, H, W, 3)
+        batches; same overlap semantics as Net.detect_stream."""
+        from .net import stream_detections
+        return stream_detections(self.detect_async, batches, depth)
+
     def warmup(self, image_sizes=None, batch_sizes=None) -> None:
         """Run every artifact once AND verify its baked golden probe
         (:func:`verify_artifact`) — a stale or mismatched artifact raises

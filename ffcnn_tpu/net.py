@@ -98,6 +98,37 @@ def _planarize_heads(ir: NetIR, params: Dict, quant):
     return out, flags
 
 
+def stream_detections(detect_async, batches, depth: int = 2):
+    """Generic pipelined-dispatch driver: keep up to ``depth`` batches in
+    flight through any ``detect_async``-shaped callable (one uint8
+    (N, H, W, 3) batch -> zero-arg completion callable).  Shared by
+    Net.detect_stream, DPNet.detect_stream, and ArtifactNet.detect_stream
+    so all three front-ends overlap host IO with device compute the same
+    way (see Net.detect_stream for the full rationale)."""
+    # validate eagerly (this wrapper runs at CALL time; the generator
+    # body below only runs on first iteration)
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+
+    def gen():
+        from collections import deque
+        inflight: deque = deque()           # completion callables
+        for batch in batches:
+            batch = np.asarray(batch)
+            if batch.ndim != 4 or batch.shape[-1] != 3:
+                raise ValueError(f"expected (N, H, W, 3) uint8 "
+                                 f"batches, got {batch.shape}")
+            # detect_async starts the host->HBM copy and enqueues the
+            # compute — both asynchronous, so the loop immediately
+            # proceeds to either the next batch or the oldest result.
+            inflight.append(detect_async(batch))
+            if len(inflight) >= depth:
+                yield inflight.popleft()()
+        while inflight:
+            yield inflight.popleft()()
+    return gen()
+
+
 class Detection(typing.NamedTuple):
     """One detection in original-image pixel coords (reference BBOX,
     ffcnn.h:29-32).  NamedTuple, not dataclass: construction cost sits on
@@ -507,28 +538,8 @@ class Net:
         ``depth`` bounds in-flight HBM (depth x batch buffers).  Dense-
         scene semantics match :meth:`detect`: parity mode re-runs a
         saturated batch at a larger top-k; fast/int8 warn once."""
-        # validate eagerly (this wrapper runs at CALL time; the generator
-        # body below only runs on first iteration)
-        if depth < 1:
-            raise ValueError(f"depth must be >= 1, got {depth}")
-
-        def gen():
-            from collections import deque
-            inflight: deque = deque()       # completion callables
-            for batch in batches:
-                batch = np.asarray(batch)
-                if batch.ndim != 4 or batch.shape[-1] != 3:
-                    raise ValueError(f"expected (N, H, W, 3) uint8 "
-                                     f"batches, got {batch.shape}")
-                # detect_async starts the host->HBM copy and enqueues the
-                # compute — both asynchronous, so the loop immediately
-                # proceeds to either the next batch or the oldest result.
-                inflight.append(self.detect_async(batch, mean, norm))
-                if len(inflight) >= depth:
-                    yield inflight.popleft()()
-            while inflight:
-                yield inflight.popleft()()
-        return gen()
+        return stream_detections(
+            lambda b: self.detect_async(b, mean, norm), batches, depth)
 
     def detect_device(self, batch, mean=DEFAULT_MEAN, norm=DEFAULT_NORM,
                       topk: Optional[int] = None) -> NMSResult:

@@ -251,6 +251,13 @@ class DPNet:
             return Net._to_detections(out)[:n]
         return finish
 
+    def detect_stream(self, batches, depth: int = 2):
+        """Pipelined detection over an iterable of uint8 (N, H, W, 3)
+        batches across the whole mesh; same overlap semantics as
+        Net.detect_stream (up to ``depth`` mesh dispatches in flight)."""
+        from ..net import stream_detections
+        return stream_detections(self.detect_async, batches, depth)
+
     def warmup(self, image_sizes=None, batch_sizes=None,
                topk_ladder: bool = False) -> None:
         """Precompile DP programs for the given sizes.  ``topk_ladder=True``

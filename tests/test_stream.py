@@ -89,3 +89,32 @@ def test_dpnet_detect_async_matches_detect():
     want = dpnet.detect(batch)
     got = dpnet.detect_async(batch)()
     _assert_same(got, want)
+
+
+def test_dpnet_detect_stream_matches_detect():
+    from ffcnn_tpu.parallel import DPNet
+    ir = parse_cfg(MICRO)
+    params, _ = load_weights(ir, synth_weights_bytes(ir, seed=7,
+                                                     obj_bias=2.0))
+    dpnet = DPNet(Net(ir, params, mode="parity"))
+    batches = _batches(3, 8, seed=5)
+    got = list(dpnet.detect_stream(batches, depth=2))
+    want = [dpnet.detect(b) for b in batches]
+    for g, w in zip(got, want):
+        _assert_same(g, w)
+
+
+def test_artifactnet_detect_stream_matches_detect(tmp_path):
+    from ffcnn_tpu.export import ArtifactNet
+    ir = parse_cfg(MICRO)
+    params, _ = load_weights(ir, synth_weights_bytes(ir, seed=7,
+                                                     obj_bias=2.0))
+    net = Net(ir, params, mode="parity")
+    p4 = str(tmp_path / "m.b4.ffx")
+    net.export(p4, batch_size=4)
+    art = ArtifactNet([p4])
+    batches = _batches(3, 4, seed=6)
+    got = list(art.detect_stream(batches, depth=2))
+    want = [art.detect(b) for b in batches]
+    for g, w in zip(got, want):
+        _assert_same(g, w)
