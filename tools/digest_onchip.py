@@ -81,6 +81,10 @@ def main(argv=None) -> int:
     if tuning:
         md += ["", "## Tuned-defaults decision (tools/apply_tuning.py)", "",
                "```json", tuning, "```"]
+    tuning2 = _tail(os.path.join(d, "tuning2.json"), 60)
+    if tuning2:
+        md += ["", "## int8 re-scored on the folded regions winner "
+               "(second apply_tuning pass)", "", "```json", tuning2, "```"]
 
     bench = _jsonl(os.path.join(d, "bench.json"))
     if bench:
