@@ -113,6 +113,12 @@ def main(argv=None) -> int:
         md += ["", "## TPU-side fast-mode drift vs the C binary", "",
                "```", drift, "```"]
 
+    acc = _tail(os.path.join(d, "accuracy_tpu.log"), 12)
+    if acc:
+        md += ["", "## TPU-side detection-set accuracy "
+               "(tools/accuracy_report.py, C v0 oracle as ground truth)",
+               "", "```", acc, "```"]
+
     rows = _jsonl(os.path.join(d, "rows.jsonl"))
     if rows:
         md += ["", "## VMEM rows boundary sweep (tools/validate_rows.py)", "",

@@ -69,6 +69,11 @@ MODE=int8 timeout 1800 $PY tools/bench_stream.py > $OUT/stream_int8.json 2>$OUT/
 timeout 5400 $PY tools/c_differential.py --mode fast --platform device \
     --variants v0 v6 --skip-zoo > $OUT/drift_fast_tpu.log 2>&1
 
+# 8b. TPU-side detection-set accuracy (mAP vs the C oracle; CPU-side
+# numbers are in PERF_NOTES — this is the honest on-MXU metric)
+timeout 3600 $PY tools/accuracy_report.py --platform device \
+    --modes fast int8 > $OUT/accuracy_tpu.log 2>&1
+
 # 9. digest the raw /tmp artifacts into the repo so the round carries
 # its measured evidence even if nobody is around to write it up
 timeout 300 $PY tools/digest_onchip.py > $OUT/digest.log 2>&1
