@@ -270,19 +270,25 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                 xc0 = conv0_cs(x, w0, s0, b0, l0.activation,
                                out_dtype=float_dtype,
                                interpret=fused_interpret)
-            with jax.named_scope(f"L001_fusedrun_to_{r.end:03d}"):
-                xc, hh2, ww2 = run_blocks_cs(
-                    xc0, ir, params, r, ir.blobs[1].h, ir.blobs[1].w, nb,
-                    final_dtype=float_dtype, interpret=fused_interpret,
-                    quant=quant)
-                p2 = xc.shape[1]
-                y = jnp.transpose(xc.reshape(hh2, p2, ww2, nb),
-                                  (3, 0, 2, 1))
-                blobs[r.end + 1] = store(r.end + 1, y)
-            skip_until = r.end + 1
-            if blob_hook is not None:
-                blob_hook(r.end + 1, deq(r.end + 1))
-            continue
+            if xc0 is None:
+                # geometry has no legal stem rows choice: fall through to
+                # the normal (XLA) handling of layer 0; the fused run at
+                # L1 still applies via run_map.
+                use_c0p = False
+            else:
+                with jax.named_scope(f"L001_fusedrun_to_{r.end:03d}"):
+                    xc, hh2, ww2 = run_blocks_cs(
+                        xc0, ir, params, r, ir.blobs[1].h, ir.blobs[1].w,
+                        nb, final_dtype=float_dtype,
+                        interpret=fused_interpret, quant=quant)
+                    p2 = xc.shape[1]
+                    y = jnp.transpose(xc.reshape(hh2, p2, ww2, nb),
+                                      (3, 0, 2, 1))
+                    blobs[r.end + 1] = store(r.end + 1, y)
+                skip_until = r.end + 1
+                if blob_hook is not None:
+                    blob_hook(r.end + 1, deq(r.end + 1))
+                continue
         if li in head_map:
             from ..kernels.head_fused import apply_head_run
             r = head_map[li]

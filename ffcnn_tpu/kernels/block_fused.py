@@ -302,9 +302,13 @@ def _make_down_kernel(rows: int, width: int, n: int, acts,
     """Stride-2 variant: R OUTPUT rows per grid step consume input rows
     [2*r0-1, 2*r0+2R-1] — a top halo row plus a 2R-row block (no bottom
     halo: with even H the y=+1 tap of the last output row is in-block).
-    W taps view each zero-padded pw-expand row as (E, W+2, N) and take the
-    stride-2 mid-dim slice starting at dx — all values are f32 by the time
-    the strided op runs (Mosaic strided ops are 32-bit-only)."""
+
+    W taps: output col j reads original cols 2j-1 / 2j / 2j+1, so each
+    pw-expand row is lane-split into even / odd column halves via a
+    (E, WO, 2N) reshape + contiguous lane slices (Mosaic lowers lane
+    split/merge reshapes; strided slices and >2D gathers it does NOT —
+    both probed on-chip).  The dx=0 tap is the odd half shifted right one
+    column (zero at j=0 = the dw zero pad)."""
     R, W, N = rows, width, n
     WO = W // 2
 
@@ -323,18 +327,21 @@ def _make_down_kernel(rows: int, width: int, n: int, acts,
                      preferred_element_type=jnp.float32) * s1[...]
                      + b1[...], acts[0])
                  for xr in src]
-        h1 = []
+        taps = []
         for idx, a in enumerate(rows_):
             if idx == 0:                        # y=-1 tap at the image top
                 a = jnp.where(h == 0, 0.0, a)
-            h1.append(jnp.pad(a, ((0, 0), (N, N))).reshape(E, W + 2, N))
+            a3 = a.reshape(E, WO, 2 * N)
+            ae = a3[:, :, :N].reshape(E, SO)          # cols 2j
+            ao = a3[:, :, N:].reshape(E, SO)          # cols 2j+1
+            aom = jnp.pad(ao, ((0, 0), (N, 0)))[:, :SO]   # cols 2j-1
+            taps.append((aom, ae, ao))
         outs = []
         for r in range(R):
             acc = jnp.zeros((E, SO), jnp.float32)
             for dy in range(3):
                 for dx in range(3):
-                    tap = h1[2 * r + dy][:, dx:dx + W:2].reshape(E, SO)
-                    acc = acc + tap * kdw[dy, dx][:, None]
+                    acc = acc + taps[2 * r + dy][dx] * kdw[dy, dx][:, None]
             h2 = activate(acc * s2[...] + b2[...], acts[1])
             y = lax.dot_general(w2[...], h2, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)

@@ -42,20 +42,34 @@ def _make_kernel(rows: int, width: int, n: int, act: int):
         h = pl.program_id(0)
         # Blocks arrive as (N, rows, W*3) u8 — last dim DENSE on lanes
         # (a (…, W, 3) block would lane-pad 3->128: 42x VMEM + DMA).
+        # The top halo is an 8-row block (Mosaic requires the last two
+        # block dims %8/%128 or full); with R%4==0 the halo input row
+        # 2*R*h-1 always sits at STATIC in-block offset 7 (h=0 reads a
+        # clamped garbage row that the where() below zeroes).
         # One relayout to (2R+1, 3, W*N): batch to lanes, once.
-        x = jnp.concatenate([xt[...], xc[...]], axis=1).astype(jnp.float32)
+        # u8 -> i32 -> f32: Mosaic has no direct u8->f32 cast (probed).
+        def lift(v):
+            return v.astype(jnp.int32).astype(jnp.float32)
+        x = jnp.concatenate([lift(xt[:, 7:8, :]), lift(xc[...])], axis=1)
         x = x.reshape(N, 2 * R + 1, W, 3)
         xt_ = jnp.transpose(x, (1, 3, 2, 0)).reshape(2 * R + 1, 3, W * N)
+        SO = WO * N
         planes = []
         for i in range(2 * R + 1):
             p = xt_[i]
             if i == 0:                   # pad row -1 at the image top
                 p = jnp.where(h == 0, 0.0, p)
-            planes.append(jnp.pad(p, ((0, 0), (N, N)))
-                          .reshape(3, W + 2, N))
+            # Even/odd column lane split (output col j taps original cols
+            # 2j-1 / 2j / 2j+1): Mosaic lowers lane split/merge reshapes;
+            # strided slices and >2D gathers it does NOT (probed on-chip).
+            p3 = p.reshape(3, WO, 2 * N)
+            pe = p3[:, :, :N].reshape(3, SO)              # cols 2j
+            po = p3[:, :, N:].reshape(3, SO)              # cols 2j+1
+            pom = jnp.pad(po, ((0, 0), (N, 0)))[:, :SO]   # cols 2j-1
+            planes.append((pom, pe, po))
         outs = []
         for r in range(R):
-            taps = [planes[2 * r + dy][:, dx:dx + W:2].reshape(3, WO * N)
+            taps = [planes[2 * r + dy][dx]
                     for dy in range(3) for dx in range(3)]
             im = jnp.concatenate(taps, axis=0)           # (27, WO*N)
             y = lax.dot_general(wm[...], im, (((1,), (0,)), ((), ())),
@@ -70,17 +84,21 @@ def _pick_rows(h_out: int, n: int, w: int) -> int:
     """VMEM per grid step: the u8 input block (dense lanes) + the f32 cast
     copy + the transposed f32 planes (~9 bytes/pixel-channel total).
     Honors the global rows cap (block_fused._ROWS_CAP) so the net-level
-    VMEM-overflow retry also shrinks the stem's grid steps."""
+    VMEM-overflow retry also shrinks the stem's grid steps.
+
+    Only R%4==0 choices are legal: the 8-row top-halo block puts the
+    2*R*i-1 halo row at static offset 7 exactly when 2R ≡ 0 (mod 8).
+    Returns 0 when no choice fits (caller falls back to the XLA stem)."""
     from .block_fused import _ROWS_CAP
     budget = 60 << 20
     per_row = n * w * 3 * 9
     cap = _ROWS_CAP[0]
-    for r in (16, 10, 8, 5, 4, 2, 1):
+    for r in (16, 8, 4):
         if cap and r > cap:
             continue
         if r <= h_out and h_out % r == 0 and (2 * r + 1) * per_row <= budget:
             return r
-    return 1
+    return 0
 
 
 def conv0_cs(x, w, scale, bias, act: int, *, out_dtype=jnp.bfloat16,
@@ -88,12 +106,16 @@ def conv0_cs(x, w, scale, bias, act: int, *, out_dtype=jnp.bfloat16,
     """(N, H, W, 3) uint8, HWIO ``w`` (3, 3, 3, F), folded scale/bias ->
     (H/2, F, (W/2)*N) in the fused channel-sublane layout.
 
-    Requires the flagship stem shape: fs=3, stride=2, pad=1, even H/W."""
+    Requires the flagship stem shape: fs=3, stride=2, pad=1, even H/W.
+    Returns None when the geometry admits no legal rows choice (H/2 not
+    divisible by 4, or VMEM too small) — caller falls back to XLA."""
     n, hh, ww, ci = x.shape
     kh, kw, ci2, f = w.shape
     assert (kh, kw, ci2) == (3, 3, ci) and hh % 2 == 0 and ww % 2 == 0
     ho, wo = hh // 2, ww // 2
     r = _pick_rows(ho, n, ww)
+    if r == 0:
+        return None
     # (dy, dx, c) rows in the SAME order the kernel stacks taps.
     wm = jnp.transpose(jnp.asarray(w, jnp.float32).reshape(9 * ci, f))
     s = jnp.asarray(scale, jnp.float32)[:, None]
@@ -102,8 +124,11 @@ def conv0_cs(x, w, scale, bias, act: int, *, out_dtype=jnp.bfloat16,
     # Flatten (W, 3) -> W*3 so the VMEM blocks' lane dim is dense (contiguous
     # minor dims; at most a cheap u8 relayout in XLA-land).
     x3 = x.reshape(n, hh, ww * ci)
-    top = pl.BlockSpec((n, 1, ww * ci),
-                       lambda i: (0, jnp.maximum(i * 2 * r - 1, 0), 0),
+    # 8-row halo block (block units of 8 input rows): input row 2ri-1
+    # lives in block ri/4 - 1 at offset 7 for i>0 (R%4==0 guarantees
+    # alignment); i=0 clamps to block 0 and the kernel zeroes the row.
+    top = pl.BlockSpec((n, 8, ww * ci),
+                       lambda i: (0, jnp.maximum(i * (r // 4) - 1, 0), 0),
                        memory_space=pltpu.VMEM)
     cur = pl.BlockSpec((n, 2 * r, ww * ci), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)

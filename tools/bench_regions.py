@@ -42,11 +42,14 @@ CONFIGS = [
                               "FFCNN_FUSED_MINC": "8",
                               "FFCNN_FUSED_STORE": "f32",
                               "FFCNN_FUSED_CASCADE": "3"}),
-    ("down_minc1_f32_casc3_c0p", {"FFCNN_FUSED_DOWN": "1",
-                                  "FFCNN_FUSED_MINC": "1",
-                                  "FFCNN_FUSED_STORE": "f32",
-                                  "FFCNN_FUSED_CASCADE": "3",
-                                  "FFCNN_CONV0_PALLAS": "1"}),
+    # NOTE: the CONV0_PALLAS variant is out of the matrix: Mosaic on this
+    # toolchain cannot lower the stem's in-kernel batch-to-lanes transpose
+    # ("infer-vector-layout: unsupported shape cast") nor a u8 lane
+    # transpose — measured-negative, see docs/PERF_NOTES.md r3 session 5.
+    ("down_minc1_f32_casc3", {"FFCNN_FUSED_DOWN": "1",
+                              "FFCNN_FUSED_MINC": "1",
+                              "FFCNN_FUSED_STORE": "f32",
+                              "FFCNN_FUSED_CASCADE": "3"}),
 ]
 
 
