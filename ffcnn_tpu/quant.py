@@ -165,6 +165,37 @@ def build_plan(ir: NetIR, params, absmax: np.ndarray,
                      min_channels=min_channels)
 
 
+def _attribution_exclusions(ir: NetIR, min_channels: int,
+                            exclude_blobs: Optional[set]) -> Optional[set]:
+    """Attribution-harness knobs (env-only, not apply_tuning-tunable):
+
+    * ``FFCNN_INT8_EXCLUDE_BLOBS=81,82`` — force the listed blob indices
+      to stay float on top of the normal plan;
+    * ``FFCNN_INT8_ONLY_BLOBS=81,82`` — quantize ONLY the listed blobs
+      (intersected with normal eligibility); everything else stays float.
+
+    Both exist for tools/int8_attribution.py's per-blob accuracy sweep
+    (VERDICT r3 #4: which blobs shift the boxes?); production never sets
+    them."""
+    import os
+
+    def _parse(name):
+        raw = os.environ.get(name, "").strip()
+        if not raw:
+            return None
+        return {int(t) for t in raw.split(",") if t.strip()}
+
+    excl = set(exclude_blobs or ())
+    extra = _parse("FFCNN_INT8_EXCLUDE_BLOBS")
+    if extra:
+        excl |= extra
+    only = _parse("FFCNN_INT8_ONLY_BLOBS")
+    if only is not None:
+        eligible = set(_int8_blobs(ir, min_channels))
+        excl |= eligible - only
+    return excl or exclude_blobs
+
+
 def calibrate(ir: NetIR, params, images, mean=(0.0, 0.0, 0.0),
               norm=(1 / 255.0,) * 3, min_channels: int = 32,
               exclude_blobs: Optional[set] = None,
@@ -175,6 +206,7 @@ def calibrate(ir: NetIR, params, images, mean=(0.0, 0.0, 0.0),
     images = np.asarray(images)
     if images.ndim == 3:
         images = images[None]
+    exclude_blobs = _attribution_exclusions(ir, min_channels, exclude_blobs)
     absmax = collect_blob_absmax(ir, params, images, mean, norm, percentile)
     return build_plan(ir, params, absmax, min_channels, exclude_blobs)
 

@@ -200,3 +200,31 @@ def test_fused_env_kill_switch(monkeypatch):
     assert not runs_usable(256, backend="tpu")
     monkeypatch.setenv("FFCNN_FUSED", "1")
     assert runs_usable(256, backend="tpu")
+
+
+def test_attribution_blob_knobs(ref_cfg, ref_weights, monkeypatch):
+    """FFCNN_INT8_ONLY_BLOBS / FFCNN_INT8_EXCLUDE_BLOBS restrict the plan's
+    blob set (the per-blob accuracy-attribution harness,
+    tools/int8_attribution.py)."""
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.weights import load_weights
+    from ffcnn_tpu.graph.build import params_to_pytree
+    from ffcnn_tpu.quant import _int8_blobs, calibrate
+
+    ir = parse_cfg(ref_cfg)
+    params = params_to_pytree(load_weights(ir, ref_weights)[0])
+    img = np.random.RandomState(0).randint(
+        0, 256, (1, ir.blobs[0].h, ir.blobs[0].w, 3), dtype=np.uint8)
+    eligible = _int8_blobs(ir, 32)
+    keep = {eligible[0], eligible[3]}
+
+    monkeypatch.setenv("FFCNN_INT8_ONLY_BLOBS",
+                       ",".join(map(str, sorted(keep))))
+    plan = calibrate(ir, params, img, min_channels=32)
+    assert set(plan.blob_scale) == keep
+
+    monkeypatch.delenv("FFCNN_INT8_ONLY_BLOBS")
+    monkeypatch.setenv("FFCNN_INT8_EXCLUDE_BLOBS", str(eligible[0]))
+    plan = calibrate(ir, params, img, min_channels=32)
+    assert eligible[0] not in plan.blob_scale
+    assert set(plan.blob_scale) == set(eligible) - {eligible[0]}
