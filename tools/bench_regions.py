@@ -38,6 +38,13 @@ CONFIGS = [
                            "FFCNN_FUSED_STORE": "f32"}),
     # halo-cascade: several s1 blocks per launch, boundary blobs VMEM-only
     ("casc3_minc24", {"FFCNN_FUSED_CASCADE": "3"}),
+    # r4: the two measured winners combined (casc3_minc24 +3.5%,
+    # down_minc24 +1.4% in the r3 partial matrix) + cascade-depth sweep
+    ("down_minc24_casc3", {"FFCNN_FUSED_DOWN": "1",
+                           "FFCNN_FUSED_CASCADE": "3"}),
+    ("casc5_minc24", {"FFCNN_FUSED_CASCADE": "5"}),
+    ("down_minc24_casc5", {"FFCNN_FUSED_DOWN": "1",
+                           "FFCNN_FUSED_CASCADE": "5"}),
     ("down_minc8_f32_casc3", {"FFCNN_FUSED_DOWN": "1",
                               "FFCNN_FUSED_MINC": "8",
                               "FFCNN_FUSED_STORE": "f32",

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Digest /tmp/onchip measurement artifacts into docs/ONCHIP_R3.md.
+"""Digest /tmp/onchip measurement artifacts into docs/ONCHIP_R4.md.
 
 Runs as the LAST stage of tools/onchip_session.sh: the queue's raw
 outputs live in /tmp (not committed), so this writes the measured
@@ -15,7 +15,7 @@ import os
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "docs", "ONCHIP_R3.md")
+OUT = os.path.join(REPO, "docs", "ONCHIP_R4.md")
 
 
 def _jsonl(path):
@@ -47,7 +47,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     d = args.dir
 
-    md = ["# On-chip measurement digest (round 3)",
+    md = ["# On-chip measurement digest (round 4)",
           "",
           f"Generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}"
           f" by tools/digest_onchip.py from {d} (raw queue outputs; see"

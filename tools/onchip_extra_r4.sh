@@ -1,0 +1,23 @@
+#!/bin/sh
+# Round-4 extra on-chip stages, run by tools/onchip_session_r4.sh after
+# the main queue: the C<=16 bisection (VERDICT r3 #2) and the demo-
+# geometry (640x448) per-layer profile (VERDICT r3 #7).
+set -x
+PY=/opt/venv/bin/python
+OUT=/tmp/onchip
+mkdir -p $OUT
+cd "$(dirname "$0")/.."
+
+# A. bisect WHY the small-C fused kernels lose: per-component device
+# times at the losing geometries, bf16 and f32 storage.
+timeout 3000 $PY tools/bisect_smallc.py --store bf16 \
+    -o $OUT/bisect_bf16.jsonl > $OUT/bisect_bf16.log 2>&1
+timeout 3000 $PY tools/bisect_smallc.py --store f32 \
+    -o $OUT/bisect_f32.jsonl > $OUT/bisect_f32.log 2>&1
+
+# B. demo geometry 640x448: per-layer measured-vs-floor profile at the
+# reference's published workload (ffcnn.c:573, readme.txt:114-126).
+timeout 1800 $PY tools/profile_layers.py 128 640x448 \
+    > $OUT/profile_640x448.txt 2>&1
+
+echo EXTRA DONE
