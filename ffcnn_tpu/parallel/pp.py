@@ -27,9 +27,18 @@ every YOLO layer in the last stage, which runs decode + NMS and writes the
 finished microbatch result.  Results are gathered with a masked ``psum``
 (only the last stage contributes).
 
-For darknet-scale models DP is strictly better (no bubble, no boundary
-traffic); PP exists for graphs whose per-stage footprint or latency budget
-exceeds one chip, and it composes with DP on a (data, pipe) mesh — the
+Measured characterization (tools/bench_pp.py, 8-device CPU sim, S=4,
+160x160, mb=8, 2026-08-19): step time scales with the GPipe schedule —
+implied ticks 5.6 / 7.7 / 17.2 at M=4/8/16 against the predicted
+S+M-1 = 7 / 11 / 19 (and nowhere near the S*M serial alternative), with
+the theoretical bubble fractions 3/7, 3/11, 3/19 amortizing as M grows.
+On that sim mesh PP (S=4, data=2, M=8) actually edged out pure DP-8 at
+equal images/step (11.4 vs 9.9 img/s) — host cache effects favor the
+smaller per-stage programs; on real TPU DP remains the expected winner
+for darknet-scale models (no bubble, no wire traffic, and DP runs the
+fused-Pallas + int8 single-chip program which PP stage bodies don't).
+PP exists for graphs whose per-stage footprint or latency budget exceeds
+one chip, and it composes with DP on a (data, pipe) mesh — the
 microbatch dim shards over ``data`` while stages split over ``pipe``.
 Stage bodies trace the plain XLA path (no fused Pallas runs, no int8
 plan — the per-chip-fastest single-program deployment is build_dp_pipeline;
