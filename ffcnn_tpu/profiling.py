@@ -117,6 +117,44 @@ def _parse_trace(trace_dir: str, iters: int) -> Tuple[Dict[int, float], float]:
             agg.get(-1, 0) / iters)
 
 
+def trace_occupancy(trace_dir: str) -> Dict[str, float]:
+    """Device busy time vs span from a profiler trace, as an interval
+    union over the device tracks' op events (``jit_`` parent spans
+    excluded).  All timestamps are device-side, so host/tunnel RTT shows
+    up as *idle* instead of poisoning the measurement — this is the
+    overlap metric behind ``tools/bench_stream.py`` (VERDICT r3 #5: does
+    a depth-2 ``detect_stream`` actually keep the chip busier than the
+    serial loop?).  Returns ``{busy_ms, span_ms, occupancy}``."""
+    paths = glob.glob(os.path.join(trace_dir,
+                                   "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise RuntimeError("profiler produced no trace")
+    with gzip.open(paths[0]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, n in pids.items()
+           if "TPU" in n or n.startswith("/device:")}
+    iv = sorted((e["ts"], e["ts"] + e["dur"]) for e in ev
+                if e.get("ph") == "X" and e.get("pid") in dev
+                and e.get("dur") and not e["name"].startswith("jit_"))
+    if not iv:
+        return {"busy_ms": 0.0, "span_ms": 0.0, "occupancy": 0.0}
+    busy, cur_s, cur_e = 0.0, iv[0][0], iv[0][1]
+    for s, t in iv[1:]:
+        if s > cur_e:
+            busy += cur_e - cur_s
+            cur_s, cur_e = s, t
+        else:
+            cur_e = max(cur_e, t)
+    busy += cur_e - cur_s
+    span = iv[-1][1] - iv[0][0]
+    span = max(span, busy)
+    return {"busy_ms": round(busy / 1e3, 3), "span_ms": round(span / 1e3, 3),
+            "occupancy": round(busy / span, 4) if span else 0.0}
+
+
 def profile_layers(run_step, ir: NetIR, iters: int = 10,
                    trace_dir: Optional[str] = None) -> ProfileReport:
     """Profile ``run_step()`` (a zero-arg callable dispatching one jitted

@@ -83,12 +83,39 @@ def main():
         stream_out = out
 
     same = all(_dets_equal(s, p) for s, p in zip(serial_out, stream_out))
+
+    # Trace-derived device occupancy (VERDICT r3 #5): busy/span from
+    # device-side timestamps, so the tunnel's RTT appears as idle instead
+    # of poisoning the number.  One traced pass per path.
+    occ = {}
+    try:
+        import shutil
+        import tempfile
+
+        import jax
+
+        from ffcnn_tpu.profiling import trace_occupancy
+        for label, run in (
+                ("serial", lambda: [net.detect(b) for b in batches]),
+                ("stream", lambda: list(net.detect_stream(batches,
+                                                          depth=DEPTH)))):
+            tmp = tempfile.mkdtemp(prefix="stream_occ_")
+            try:
+                with jax.profiler.trace(tmp):
+                    run()
+                occ[label] = trace_occupancy(tmp)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as ex:                     # occupancy is best-effort
+        occ = {"error": f"{type(ex).__name__}: {ex}"}
+
     print(json.dumps({
         "batch": BATCH, "n_batches": N_BATCHES, "depth": DEPTH,
         "serial_img_s": round(total / serial_dt, 1),
         "stream_img_s": round(total / stream_dt, 1),
         "speedup": round(serial_dt / stream_dt, 3),
         "results_identical": bool(same),
+        "occupancy": occ,
         "mode": os.environ.get("MODE", "fast"),
     }))
 
