@@ -52,7 +52,7 @@ CONFIGS = [
     # NOTE: the CONV0_PALLAS variant is out of the matrix: Mosaic on this
     # toolchain cannot lower the stem's in-kernel batch-to-lanes transpose
     # ("infer-vector-layout: unsupported shape cast") nor a u8 lane
-    # transpose — measured-negative, see docs/PERF_NOTES.md r3 session 5.
+    # transpose — could not lower, see docs/PERF_NOTES.md "Round 3, session 4".
     ("down_minc1_f32_casc3", {"FFCNN_FUSED_DOWN": "1",
                               "FFCNN_FUSED_MINC": "1",
                               "FFCNN_FUSED_STORE": "f32",
