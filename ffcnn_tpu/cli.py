@@ -197,7 +197,10 @@ def cmd_roofline(args) -> int:
     from . import roofline
     from .darknet import parse_cfg
 
-    ir = parse_cfg(args.cfg, args.size, args.size)
+    geo = str(args.size)
+    w, h = (map(int, geo.split("x")) if "x" in geo
+            else (int(geo), int(geo)))
+    ir = parse_cfg(args.cfg, w, h)
     runs = None
     if not args.no_fused and args.dtype == "bf16":
         from .kernels.block_fused import BATCH_QUANTUM, plan_runs
@@ -306,7 +309,9 @@ def main(argv=None) -> int:
                          "(no device needed)")
     pr.add_argument("--cfg", default=DEFAULT_CFG)
     pr.add_argument("--batch", type=int, default=256)
-    pr.add_argument("--size", type=int, default=320)
+    pr.add_argument("--size", default="320",
+                    help="square size or WxH (e.g. 640x448, the "
+                         "reference demo geometry)")
     pr.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
     pr.add_argument("--no-fused", action="store_true",
                     help="model per-layer materialization instead of the "
