@@ -68,13 +68,21 @@ def main(argv=None) -> int:
                     help="subset of config labels to run")
     args = ap.parse_args(argv)
 
-    for label, overrides in CONFIGS:
-        if args.configs and label not in args.configs:
-            continue
+    items = [(l, o) for l, o in CONFIGS
+             if not args.configs or l in args.configs]
+    if args.configs:
+        # --configs order is EXECUTION order (value-first queues put the
+        # winner-candidate configs before known-broken diagnostics).
+        rank = {l: i for i, l in enumerate(args.configs)}
+        items.sort(key=lambda t: rank[t[0]])
+    for label, overrides in items:
         # FFCNN_TUNED_DEFAULTS="": A/B configs must measure EXPLICIT flags
         # against true code defaults — a tuned file from an earlier
         # apply_tuning run would otherwise contaminate the baseline row.
-        env = dict(os.environ, FFCNN_TUNED_DEFAULTS="", **overrides)
+        # TRACEBACK_FILTERING off so an error row carries the real
+        # exception (the r3 minc8 error rows truncated before it).
+        env = dict(os.environ, FFCNN_TUNED_DEFAULTS="",
+                   JAX_TRACEBACK_FILTERING="off", **overrides)
         # Two attempts per config: bench_flags enables the persistent
         # compile cache, so a run that times out on cold Mosaic compiles
         # (whole-backbone cascades compile many distinct kernels, minutes
@@ -91,7 +99,9 @@ def main(argv=None) -> int:
                 try:
                     rec = json.loads(line)
                 except (ValueError, IndexError):
-                    rec = {"error": (proc.stderr or "no output")[-2000:]}
+                    rec = {"error": (proc.stderr or "no output")[-2000:],
+                           "stdout_tail": (proc.stdout or "")[-500:],
+                           "rc": proc.returncode}
             except subprocess.TimeoutExpired:
                 rec = {"error": f"timeout {args.timeout}s"}
             if "error" not in rec:

@@ -21,10 +21,12 @@ timeout 2100 $PY tools/tpu_health.py --wait 30 > $OUT/health.log 2>&1 || exit 1
 if [ ! -f $OUT/regions.jsonl ]; then
   grep '"img_s"' ONCHIP_PARTIAL_r04_regions.jsonl > $OUT/regions.jsonl
 fi
+# --configs order = execution order: winner-candidate combos first, the
+# known-erroring minc8/minc1 diagnostics last (each can burn 2x1500 s).
 timeout 14000 $PY tools/bench_regions.py -o $OUT/regions.jsonl --configs \
     down_minc24_casc3 casc5_minc24 down_minc24_casc5 \
-    down_minc8 down_minc8_f32 down_minc1_f32 \
     down_minc8_f32_casc3 down_minc1_f32_casc3 \
+    down_minc8 down_minc8_f32 down_minc1_f32 \
     > $OUT/regions.log 2>&1
 
 # 2. int8 A/B (VERDICT r3 #4): plain, minc24 (fused interior boundaries).
