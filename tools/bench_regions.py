@@ -43,6 +43,10 @@ CONFIGS = [
     ("down_minc24_casc3", {"FFCNN_FUSED_DOWN": "1",
                            "FFCNN_FUSED_CASCADE": "3"}),
     ("casc5_minc24", {"FFCNN_FUSED_CASCADE": "5"}),
+    # depth refinement: 0 (37.6k) < 3 (38.9k) > 5 (36.2k) measured — probe
+    # the neighbors of the peak
+    ("casc2_minc24", {"FFCNN_FUSED_CASCADE": "2"}),
+    ("casc4_minc24", {"FFCNN_FUSED_CASCADE": "4"}),
     ("down_minc24_casc5", {"FFCNN_FUSED_DOWN": "1",
                            "FFCNN_FUSED_CASCADE": "5"}),
     ("down_minc8_f32_casc3", {"FFCNN_FUSED_DOWN": "1",

@@ -8,6 +8,13 @@ OUT=/tmp/onchip
 mkdir -p $OUT
 cd "$(dirname "$0")/.."
 
+# 0. cascade-depth refinement around the measured peak (0: 37.6k,
+# 3: 38.9k, 5: 36.2k) + re-fold tuned defaults if a neighbor wins.
+timeout 3600 $PY tools/bench_regions.py -o $OUT/regions.jsonl --configs \
+    casc2_minc24 casc4_minc24 >> $OUT/regions.log 2>&1
+timeout 300 $PY tools/apply_tuning.py --regions $OUT/regions.jsonl \
+    --int8 "$OUT/int8_tuned_*.json" > $OUT/tuning3.json 2>$OUT/tuning3.err
+
 # A. bisect WHY the small-C fused kernels lose: per-component device
 # times at the losing geometries, bf16 and f32 storage.
 timeout 3000 $PY tools/bisect_smallc.py --store bf16 \
