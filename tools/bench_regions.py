@@ -103,9 +103,15 @@ def main(argv=None) -> int:
                 try:
                     rec = json.loads(line)
                 except (ValueError, IndexError):
+                    # full stderr to a sidecar file: the exception often
+                    # sits mid-stream, buried under axon AOT logs
+                    errpath = os.path.join(os.path.dirname(args.out)
+                                           or ".", f"err_{label}.log")
+                    with open(errpath, "w") as ef:
+                        ef.write(proc.stderr or "no output")
                     rec = {"error": (proc.stderr or "no output")[-2000:],
                            "stdout_tail": (proc.stdout or "")[-500:],
-                           "rc": proc.returncode}
+                           "rc": proc.returncode, "stderr_file": errpath}
             except subprocess.TimeoutExpired:
                 rec = {"error": f"timeout {args.timeout}s"}
             if "error" not in rec:
