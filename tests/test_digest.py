@@ -41,6 +41,19 @@ def test_digest_renders_all_sections(tmp_path):
     (d / "drift_fast_tpu.log").write_text(
         "[flagship[fast] vs v0] 11/48 exact; drift: 82/83 paired\n")
     (d / "rows.jsonl").write_text(json.dumps({"rows": 10}) + "\n")
+    (d / "tuning3.json").write_text(json.dumps(
+        {"flags": {"FFCNN_FUSED_CASCADE": "4"}}))
+    (d / "bisect_bf16.jsonl").write_text(json.dumps(
+        {"geom": "80x80/C8/E48", "batch": 256, "store": "bf16",
+         "dense_MB": 52.4, "tiled_MB": 104.9, "copy": 310.0,
+         "dwonly": 450.0, "pwonly": 600.0, "full": 810.0,
+         "xla": 720.0, "tpose": 260.0}) + "\n")
+    (d / "bisect_f32.jsonl").write_text(json.dumps(
+        {"geom": "80x80/C8/E48", "batch": 256, "store": "f32",
+         "dense_MB": 104.9, "tiled_MB": 104.9, "copy": 300.0,
+         "dwonly": "FAIL XlaRuntimeError", "pwonly": 590.0,
+         "full": 800.0, "xla": 700.0, "tpose": 250.0}) + "\n")
+    (d / "profile_640x448.txt").write_text("conv 9000 us\n")
 
     out = tmp_path / "digest.md"
     assert digest_onchip.main(["--dir", str(d), "--out", str(out)]) == 0
@@ -49,8 +62,12 @@ def test_digest_renders_all_sections(tmp_path):
                     "Tuned-defaults decision", "Headline bench",
                     "Host-input stream A/B (fast)",
                     "bubble attribution", "Measured-vs-floor",
-                    "fast-mode drift", "VMEM rows boundary sweep"):
+                    "fast-mode drift", "VMEM rows boundary sweep",
+                    "Cascade-depth refinement re-fold",
+                    "bisection, store=bf16", "bisection, store=f32",
+                    "Demo-geometry profile"):
         assert section in text, section
+    assert "FAIL XlaRuntimeError" in text
     assert "down_minc8_f32" in text and "45000" in text
     # best config sorts first in the table
     assert text.index("down_minc8_f32") < text.index("baseline_minc24")

@@ -85,6 +85,10 @@ def main(argv=None) -> int:
     if tuning2:
         md += ["", "## int8 re-scored on the folded regions winner "
                "(second apply_tuning pass)", "", "```json", tuning2, "```"]
+    tuning3 = _tail(os.path.join(d, "tuning3.json"), 60)
+    if tuning3:
+        md += ["", "## Cascade-depth refinement re-fold "
+               "(third apply_tuning pass)", "", "```json", tuning3, "```"]
 
     bench = _jsonl(os.path.join(d, "bench.json"))
     if bench:
@@ -118,6 +122,27 @@ def main(argv=None) -> int:
         md += ["", "## TPU-side detection-set accuracy "
                "(tools/accuracy_report.py, C v0 oracle as ground truth)",
                "", "```", acc, "```"]
+
+    for store in ("bf16", "f32"):
+        bis = _jsonl(os.path.join(d, f"bisect_{store}.jsonl"))
+        if bis:
+            md += ["", f"## C<=16 fused-kernel bisection, store={store} "
+                   "(tools/bisect_smallc.py, us/block, chained device time)",
+                   "", "| geom | MB dense/tiled | copy | dwonly | pwonly "
+                   "| full | xla | tpose |", "|---|---|---|---|---|---|---|---|"]
+            for r in bis:
+                md.append("| %s | %s/%s | %s | %s | %s | %s | %s | %s |" % (
+                    r.get("geom"), r.get("dense_MB", "-"),
+                    r.get("tiled_MB", "-"), r.get("copy", "-"),
+                    r.get("dwonly", "-"), r.get("pwonly", "-"),
+                    r.get("full", "-"), r.get("xla", "-"),
+                    r.get("tpose", "-")))
+
+    prof640 = _tail(os.path.join(d, "profile_640x448.txt"), 45)
+    if prof640:
+        md += ["", "## Demo-geometry profile (640x448, batch 128 — the "
+               "reference's published workload, readme.txt:114-126)",
+               "", "```", prof640, "```"]
 
     rows = _jsonl(os.path.join(d, "rows.jsonl"))
     if rows:
