@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..darknet.ir import LayerType, NetIR
 from ..ops.activations import activate
@@ -145,7 +146,12 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
     heads: List[jnp.ndarray] = []
 
     def scale_of(bi):
+        # python float (per-tensor plans) or (C,) np vector (per-channel
+        # plans) — both broadcast over NHWC's trailing channel axis.
         return quant.blob_scale[bi] if quant else None
+
+    def same_scale(a, b):
+        return np.array_equal(np.asarray(a), np.asarray(b))
 
     def is_q(bi):
         return quant is not None and quant.blob_is_int8(bi)
@@ -172,7 +178,8 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
         output share storage (+scale); otherwise dequantize/requantize so
         a mixed plan can never leak raw int8 values into the float path."""
         in_q, out_q = is_q(li), is_q(li + 1)
-        if in_q == out_q and (not in_q or scale_of(li) == scale_of(li + 1)):
+        if in_q == out_q and (not in_q
+                              or same_scale(scale_of(li), scale_of(li + 1))):
             return out
         return store(li + 1, deq(li, out))
 
@@ -191,7 +198,10 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             if is_q(li) and li in quant.weights:   # int8 blob -> int8 MXU
                 q = quant.weights[li]
                 out_s = scale_of(li + 1) if is_q(li + 1) else None
-                return conv2d_int8(inp, q["wq"], scale_of(li), q["wscale"],
+                # per-channel plans pre-fold the input's channel scales
+                # into wq (quant.build_plan) and set xs=1
+                return conv2d_int8(inp, q["wq"], q.get("xs", scale_of(li)),
+                                   q["wscale"],
                                    q["bias"], stride=layer.stride,
                                    pad=layer.pad, groups=layer.groups,
                                    act=layer.activation, out_scale=out_s,
@@ -223,21 +233,46 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             return store(li + 1, y)
         if t == LayerType.ROUTE:
             srcs = [d + 1 for d in layer.depends]
+            per_ch = quant is not None and getattr(quant, "per_channel",
+                                                   False)
+            if is_q(li + 1) and per_ch and layer.route_groups > 1:
+                # per-channel scales don't survive the post-concat group
+                # slice (the output vector indexes SLICED channels):
+                # combine in float, store once.  No flagship cfg hits this.
+                out = jnp.concatenate([deq(bi) for bi in srcs], axis=-1) \
+                    if len(srcs) > 1 else deq(srcs[0])
+                gc = out.shape[-1] // layer.route_groups
+                out = out[..., layer.route_group_id * gc:
+                          (layer.route_group_id + 1) * gc]
+                return store(li + 1, out)
             if is_q(li + 1):
                 s_out = scale_of(li + 1)
                 parts = []
+                off = 0
                 for bi in srcs:
                     v = blobs[bi]
+                    c = ir.blobs[bi].c
+                    # per-channel: this part's slice of the output vector
+                    # (calibration makes it bitwise-equal to the part's own
+                    # vector — route is an exact concat — so the int8
+                    # passthrough stays exact)
+                    so = (s_out[off:off + c] if np.ndim(s_out) else s_out)
                     if is_q(bi):
-                        if scale_of(bi) == s_out:
+                        if same_scale(scale_of(bi), so):
                             parts.append(v)      # exact passthrough
                         else:
-                            r = jnp.asarray(scale_of(bi) / s_out, jnp.float32)
+                            r = jnp.asarray(scale_of(bi) / so, jnp.float32)
                             parts.append(jnp.clip(
                                 jnp.round(v.astype(jnp.float32) * r),
                                 -127, 127).astype(jnp.int8))
+                    elif np.ndim(so):    # float part, per-channel slice
+                        parts.append(jnp.clip(
+                            jnp.round(deq(bi, v).astype(jnp.float32)
+                                      * (1.0 / so)),
+                            -127, 127).astype(jnp.int8))
                     else:
                         parts.append(store(li + 1, v))
+                    off += c
             else:
                 parts = [deq(bi) for bi in srcs]
             out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)

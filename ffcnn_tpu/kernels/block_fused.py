@@ -646,7 +646,10 @@ def run_blocks_cs(xc, ir: NetIR, params, run: FusedRun, hh: int, ww: int,
         out_scale = None
         if not last and quant is not None \
                 and quant.blob_is_int8(grp[-1].end + 1):
-            out_scale = float(quant.blob_scale[grp[-1].end + 1])
+            # scalar_scale is None for per-channel plans: the in-kernel
+            # requantize epilogue is scalar-only, so those boundaries
+            # stay float here (graph/build handles edge requantization)
+            out_scale = quant.scalar_scale(grp[-1].end + 1)
         od = (jnp.int8 if out_scale is not None
               else (final_dtype if last else mid_dtype))
         b = grp[0]
@@ -667,7 +670,7 @@ def run_blocks_cs(xc, ir: NetIR, params, run: FusedRun, hh: int, ww: int,
         for k, bb in enumerate(grp_iter):
             blast = k == len(grp_iter) - 1
             oscale = out_scale if blast else (
-                float(quant.blob_scale[bb.end + 1])
+                quant.scalar_scale(bb.end + 1)
                 if quant is not None and quant.blob_is_int8(bb.end + 1)
                 else None)
             bod = (jnp.int8 if oscale is not None

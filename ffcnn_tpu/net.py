@@ -331,6 +331,12 @@ class Net:
         if percentile is None:
             pct = get_flag("FFCNN_INT8_PCT", "")
             percentile = float(pct) if pct else None
+        # FFCNN_INT8_PERCH=1: per-channel activation scales (quant.py) —
+        # the accuracy lever the r4 attribution sweep pointed at (the
+        # per-tensor absmax wastes codes on small-range channels).
+        per_channel = get_flag("FFCNN_INT8_PERCH", "0") == "1"
+        if per_channel:
+            percentile = None    # percentile clip is per-tensor only
         # Fused Pallas runs compose cleanly with the plan: run boundary
         # blobs keep their planned storage (the graph builder requantizes
         # the run output), and the runs' interior blobs simply never
@@ -339,7 +345,8 @@ class Net:
                             mean=tuple(mean or DEFAULT_MEAN),
                             norm=tuple(norm or DEFAULT_NORM),
                             min_channels=min_channels,
-                            percentile=percentile)
+                            percentile=percentile,
+                            per_channel=per_channel)
         self._pipelines.clear()
         self._forwards.clear()
 

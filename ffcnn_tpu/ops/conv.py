@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .activations import activate
@@ -101,12 +102,14 @@ def conv2d_int8(xq, wq, x_scale: float, w_scale, bias, *, stride: int,
     """Quantized conv: int8 activations x int8 weights -> int32 MXU
     accumulation, float epilogue, optional requantize.
 
-    * ``xq``: (N, H, W, C) int8 with per-tensor ``x_scale``
+    * ``xq``: (N, H, W, C) int8 with per-tensor ``x_scale`` (per-channel
+      plans pre-fold the input's channel scales into ``wq`` and pass
+      ``x_scale=1`` — quant.build_plan)
     * ``wq``: (fs, fs, C/groups, fn) int8, per-output-channel ``w_scale``
       (the BN-fold scale is already inside wq — see quant.build_plan)
     * epilogue: ``act(acc * (x_scale * w_scale) + bias)`` in f32
-    * ``out_scale``: if set, requantize the result to int8 at that scale;
-      otherwise emit ``float_dtype``.
+    * ``out_scale``: if set, requantize the result to int8 at that scale
+      (scalar or per-channel (fn,) vector); otherwise emit ``float_dtype``.
 
     The int8 MXU runs at 2x the bf16 rate and int8 blobs halve HBM traffic
     (the actual win on this memory-bound net); the requant/dequant
@@ -125,5 +128,6 @@ def conv2d_int8(xq, wq, x_scale: float, w_scale, bias, *, stride: int,
     y = activate(y, act)
     if out_scale is None:
         return y.astype(float_dtype)
-    return jnp.clip(jnp.round(y * jnp.float32(1.0 / out_scale)),
+    return jnp.clip(jnp.round(y * jnp.asarray(1.0 / np.asarray(
+        out_scale, np.float32))),
                     -127, 127).astype(jnp.int8)

@@ -15,7 +15,16 @@ Scheme (standard symmetric PTQ):
   ``wscale[o] = absmax(w'[..., o]) / 127``.
 * **Activations**: per-blob symmetric scale ``sx = absmax / 127``,
   calibrated by running a float forward over a calibration batch and
-  recording every blob's absmax.
+  recording every blob's absmax.  With ``per_channel=True``
+  (FFCNN_INT8_PERCH=1) the scale is a per-CHANNEL vector instead: each
+  channel's absmax/127.  The consumer-side correction folds exactly into
+  the consumer conv's weights BEFORE weight quantization
+  (``conv(xq * sx, w) == conv(xq, w * sx[c])``), so the int8 dot itself
+  is unchanged and only the producer's requantize epilogue becomes a
+  per-channel multiply.  Motivation: the r4 attribution sweep
+  (docs/PERF_NOTES.md) showed the mAP loss is a *scale-granularity*
+  problem that plan surgery cannot fix — channels with small ranges waste
+  int8 codes under one per-tensor absmax.
 * **Conv**: ``acc = conv_int8(xq, wq)`` (int32 accumulation on the MXU),
   epilogue ``y = act(acc * (sx * wscale) + bias)`` in f32, then requantize
   to the output blob's scale (or emit bf16 where the plan keeps the blob
@@ -39,13 +48,25 @@ from .darknet.ir import LayerType, NetIR
 
 @dataclasses.dataclass(frozen=True)
 class QuantPlan:
-    """Everything the graph builder needs to trace the int8 pipeline."""
-    blob_scale: Dict[int, float]          # blob idx -> activation scale
+    """Everything the graph builder needs to trace the int8 pipeline.
+
+    ``blob_scale`` values are python floats (per-tensor plans) or
+    np.float32 vectors of shape (C,) (per-channel plans); both broadcast
+    correctly in the graph builder's dequantize/requantize epilogues."""
+    blob_scale: Dict[int, object]         # blob idx -> scale (float | (C,))
     weights: Dict[int, dict]              # conv layer idx -> {wq, wscale, bias}
     min_channels: int
+    per_channel: bool = False
 
     def blob_is_int8(self, bi: int) -> bool:
         return bi in self.blob_scale
+
+    def scalar_scale(self, bi: int) -> Optional[float]:
+        """Blob scale as a python float, or None for per-channel plans —
+        the fused Pallas kernels' requantize epilogue is scalar-only, so
+        vector-scaled boundaries fall back to float storage there."""
+        s = self.blob_scale[bi]
+        return float(s) if np.ndim(s) == 0 else None
 
 
 def _int8_blobs(ir: NetIR, min_channels: int,
@@ -74,29 +95,37 @@ def _int8_blobs(ir: NetIR, min_channels: int,
 
 
 def collect_blob_absmax(ir: NetIR, params, images, mean, norm,
-                        percentile: Optional[float] = None) -> np.ndarray:
+                        percentile: Optional[float] = None,
+                        per_channel: bool = False):
     """Calibration pass: run a float32 forward on uint8 BGR ``images`` and
-    return per-blob absmax, shape (len(blobs),).  Uses the same graph
-    builder as inference so quirk semantics are identical.
+    return per-blob absmax — shape (len(blobs),) by default, or a dict
+    ``{blob_index: (C,) vector}`` with ``per_channel=True``.  Uses the same
+    graph builder as inference so quirk semantics are identical.
 
     ``percentile`` (e.g. 99.9): clip the activation range to that
     percentile of |x| instead of the true absmax — leaky-ReLU nets have
     long negative tails, and spending int8 codes on one outlier coarsens
     every in-range value (values past the clip saturate at +-127, which
-    the requantize clamp already implements)."""
+    the requantize clamp already implements).  Per-tensor only (the
+    per-channel vector already isolates outlier channels)."""
     import jax
     import jax.numpy as jnp
 
     from .graph.build import forward_features
     from .ops.preprocess import letterbox
 
+    if per_channel and percentile is not None:
+        raise ValueError("percentile clip is per-tensor only")
     net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
     stats: List = []
 
     def fn(p, bgr):
         x = letterbox(bgr, net_w, net_h, jnp.asarray(mean, jnp.float32),
                       jnp.asarray(norm, jnp.float32), dtype=jnp.float32)
-        if percentile is None:
+        if per_channel:
+            stat = lambda v: jnp.max(jnp.abs(v), axis=tuple(
+                range(v.ndim - 1)))                     # (C,) over N,H,W
+        elif percentile is None:
             stat = lambda v: jnp.max(jnp.abs(v))
         else:
             stat = lambda v: jnp.percentile(
@@ -104,26 +133,41 @@ def collect_blob_absmax(ir: NetIR, params, images, mean, norm,
         record = lambda bi, v: stats.append((bi, stat(v)))
         record(0, x)
         forward_features(ir, p, x, blob_hook=record)
-        return jnp.stack([v for _, v in stats])
+        return [v for _, v in stats]
 
-    vals = np.asarray(jax.jit(fn)(params, jnp.asarray(images)))
-    out = np.zeros(len(ir.blobs), np.float32)
+    vals = jax.jit(fn)(params, jnp.asarray(images))
+    if per_channel:
+        out: Dict[int, np.ndarray] = {}
+        for (bi, _), v in zip(stats, vals):
+            v = np.asarray(v, np.float32)
+            out[bi] = np.maximum(out[bi], v) if bi in out else v
+        return out
+    flat = np.zeros(len(ir.blobs), np.float32)
     for (bi, _), v in zip(stats, vals):
-        out[bi] = max(out[bi], float(v))
-    return out
+        flat[bi] = max(flat[bi], float(v))
+    return flat
 
 
-def build_plan(ir: NetIR, params, absmax: np.ndarray,
+def build_plan(ir: NetIR, params, absmax,
                min_channels: int = 32,
                exclude_blobs: Optional[set] = None) -> QuantPlan:
-    """Quantize weights + assign blob scales from calibrated absmax."""
+    """Quantize weights + assign blob scales from calibrated absmax.
+
+    ``absmax``: per-blob scalars (np array indexed by blob, the default
+    per-tensor plan) or a ``{blob: (C,) vector}`` dict from
+    ``collect_blob_absmax(per_channel=True)`` — the latter builds a
+    per-channel plan: each consumer conv's weights absorb its input
+    blob's channel scales BEFORE weight quantization (exact algebra:
+    ``conv(xq * sx, w) == conv(xq, w * sx[c])``; grouped convs fold per
+    group slice), so ``conv2d_int8`` runs with ``x_scale=1``."""
     import jax.numpy as jnp
 
+    per_channel = isinstance(absmax, dict)
     int8_set = set(_int8_blobs(ir, min_channels, exclude_blobs))
     # scale-preserving layers (max/repeat/identity commute with a positive
     # scale) tie their output's scale to their input blob's, so passing
     # through them is an exact int8 roundtrip
-    blob_scale: Dict[int, float] = {}
+    blob_scale: Dict[int, object] = {}
     for bi in sorted(int8_set):
         producer = ir.layers[bi - 1]
         if (producer.type in (LayerType.MAXPOOL, LayerType.UPSAMPLE,
@@ -131,8 +175,13 @@ def build_plan(ir: NetIR, params, absmax: np.ndarray,
                 and (bi - 1) in blob_scale):   # producer's input blob
             blob_scale[bi] = blob_scale[bi - 1]
             continue
-        amax = float(absmax[bi])
-        blob_scale[bi] = (amax / 127.0) if amax > 0 else 1.0
+        if per_channel:
+            amax = np.asarray(absmax[bi], np.float32)
+            blob_scale[bi] = np.where(amax > 0, amax / 127.0,
+                                      1.0).astype(np.float32)
+        else:
+            amax = float(absmax[bi])
+            blob_scale[bi] = (amax / 127.0) if amax > 0 else 1.0
 
     weights: Dict[int, dict] = {}
     for li, l in enumerate(ir.layers):
@@ -155,14 +204,26 @@ def build_plan(ir: NetIR, params, absmax: np.ndarray,
         bias = np.asarray(p["bias"] if isinstance(p, dict) else p.bias,
                           np.float32)
         wf = w * scale[None, None, None, :]          # fold BN scale
+        if per_channel:
+            # absorb the input blob's channel scales: filter n consumes
+            # input channels [group(n)*icg, +icg) with group(n) = n // fpg
+            sx = np.asarray(blob_scale[li], np.float32)     # (ic,)
+            fs0, fs1, icg, fn = wf.shape
+            g = l.groups
+            fpg = fn // g
+            wf = (wf.reshape(fs0, fs1, icg, g, fpg)
+                  * sx.reshape(g, icg).T[None, None, :, :, None]
+                  ).reshape(fs0, fs1, icg, fn)
         wmax = np.abs(wf).reshape(-1, wf.shape[-1]).max(axis=0)
         wscale = np.where(wmax > 0, wmax / 127.0, 1.0).astype(np.float32)
         wq = np.clip(np.round(wf / wscale), -127, 127).astype(np.int8)
         weights[li] = {"wq": jnp.asarray(wq),
                        "wscale": jnp.asarray(wscale),
                        "bias": jnp.asarray(bias)}
+        if per_channel:
+            weights[li]["xs"] = 1.0      # input scales live in the weights
     return QuantPlan(blob_scale=blob_scale, weights=weights,
-                     min_channels=min_channels)
+                     min_channels=min_channels, per_channel=per_channel)
 
 
 def _attribution_exclusions(ir: NetIR, min_channels: int,
@@ -199,15 +260,18 @@ def _attribution_exclusions(ir: NetIR, min_channels: int,
 def calibrate(ir: NetIR, params, images, mean=(0.0, 0.0, 0.0),
               norm=(1 / 255.0,) * 3, min_channels: int = 32,
               exclude_blobs: Optional[set] = None,
-              percentile: Optional[float] = None) -> QuantPlan:
+              percentile: Optional[float] = None,
+              per_channel: bool = False) -> QuantPlan:
     """One-call calibration: float statistics pass + plan construction.
     ``percentile``: clip activation ranges to that percentile of |x|
-    (see collect_blob_absmax); None = exact absmax."""
+    (see collect_blob_absmax); None = exact absmax.  ``per_channel``:
+    per-channel activation scales (FFCNN_INT8_PERCH=1)."""
     images = np.asarray(images)
     if images.ndim == 3:
         images = images[None]
     exclude_blobs = _attribution_exclusions(ir, min_channels, exclude_blobs)
-    absmax = collect_blob_absmax(ir, params, images, mean, norm, percentile)
+    absmax = collect_blob_absmax(ir, params, images, mean, norm, percentile,
+                                 per_channel=per_channel)
     return build_plan(ir, params, absmax, min_channels, exclude_blobs)
 
 
@@ -218,10 +282,15 @@ def save_plan(path: str, plan: QuantPlan) -> None:
     import os
     import tempfile
     arrays = {"__min_channels": np.asarray([plan.min_channels]),
-              "__blobs": np.asarray(sorted(plan.blob_scale)),
-              "__scales": np.asarray([plan.blob_scale[b]
-                                      for b in sorted(plan.blob_scale)],
-                                     np.float64)}  # exact python-float roundtrip
+              "__per_channel": np.asarray([int(plan.per_channel)]),
+              "__blobs": np.asarray(sorted(plan.blob_scale))}
+    if plan.per_channel:
+        for b in sorted(plan.blob_scale):
+            arrays[f"bs{b}"] = np.asarray(plan.blob_scale[b], np.float32)
+    else:
+        arrays["__scales"] = np.asarray(
+            [plan.blob_scale[b] for b in sorted(plan.blob_scale)],
+            np.float64)  # exact python-float roundtrip
     for li, q in plan.weights.items():
         arrays[f"wq{li}"] = np.asarray(q["wq"])
         arrays[f"ws{li}"] = np.asarray(q["wscale"])
@@ -236,8 +305,14 @@ def save_plan(path: str, plan: QuantPlan) -> None:
 def load_plan(path: str) -> QuantPlan:
     import jax.numpy as jnp
     data = np.load(path)
-    blob_scale = {int(b): float(s) for b, s in
-                  zip(data["__blobs"], data["__scales"])}
+    per_channel = ("__per_channel" in data.files
+                   and bool(data["__per_channel"][0]))
+    if per_channel:
+        blob_scale = {int(b): np.asarray(data[f"bs{int(b)}"], np.float32)
+                      for b in data["__blobs"]}
+    else:
+        blob_scale = {int(b): float(s) for b, s in
+                      zip(data["__blobs"], data["__scales"])}
     weights = {}
     for name in data.files:
         if name.startswith("wq"):
@@ -245,5 +320,8 @@ def load_plan(path: str) -> QuantPlan:
             weights[li] = {"wq": jnp.asarray(data[f"wq{li}"]),
                            "wscale": jnp.asarray(data[f"ws{li}"]),
                            "bias": jnp.asarray(data[f"wb{li}"])}
+            if per_channel:
+                weights[li]["xs"] = 1.0
     return QuantPlan(blob_scale=blob_scale, weights=weights,
-                     min_channels=int(data["__min_channels"][0]))
+                     min_channels=int(data["__min_channels"][0]),
+                     per_channel=per_channel)

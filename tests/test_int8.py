@@ -194,6 +194,107 @@ def test_mixed_storage_pool_reconciles():
                                    rtol=0.25, atol=0.15)
 
 
+def _micro_setup(min_channels=8, per_channel=False):
+    import os
+    from ffcnn_tpu.darknet import parse_cfg
+    from ffcnn_tpu.darknet.weights import load_weights, synth_weights_bytes
+    from ffcnn_tpu.graph.build import params_to_pytree
+    from ffcnn_tpu.quant import build_plan, collect_blob_absmax
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ir = parse_cfg(os.path.join(REPO, "models", "ffcnn-micro.cfg"), 64, 64)
+    params = params_to_pytree(load_weights(
+        ir, synth_weights_bytes(ir, seed=3, obj_bias=0.0))[0])
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    absmax = collect_blob_absmax(ir, params, img, (0.,) * 3, (1 / 255.,) * 3,
+                                 per_channel=per_channel)
+    plan = build_plan(ir, params, absmax, min_channels=min_channels)
+    return ir, params, plan
+
+
+def test_per_channel_plan_shapes_and_policy():
+    """Per-channel plans carry (C,) scale vectors, pre-fold the input
+    scales into the weights (xs=1), and keep the per-tensor policy
+    (small-C exclusion, head floats, pass-through scale tying)."""
+    ir, params, plan = _micro_setup(per_channel=True)
+    assert plan.per_channel
+    assert plan.blob_scale, "plan quantized nothing"
+    for bi, s in plan.blob_scale.items():
+        assert s.shape == (ir.blobs[bi].c,), bi
+        assert (s > 0).all()
+        assert plan.scalar_scale(bi) is None      # fused kernels fall back
+    for li, q in plan.weights.items():
+        assert q["xs"] == 1.0
+        assert q["wq"].dtype == jnp.int8
+    # pass-through producers (maxpool/upsample/dropout) tie vectors exactly
+    from ffcnn_tpu.darknet.ir import LayerType
+    for li, l in enumerate(ir.layers):
+        if l.type in (LayerType.MAXPOOL, LayerType.UPSAMPLE,
+                      LayerType.DROPOUT) and li in plan.blob_scale \
+                and (li + 1) in plan.blob_scale:
+            np.testing.assert_array_equal(plan.blob_scale[li + 1],
+                                          plan.blob_scale[li])
+    # route outputs: the calibrated vector is the exact concat of the
+    # parts' vectors (route copies channels), so int8 passthrough is exact
+    for li, l in enumerate(ir.layers):
+        if l.type == LayerType.ROUTE and l.route_groups == 1 \
+                and (li + 1) in plan.blob_scale:
+            off = 0
+            for d in l.depends:
+                bi = d + 1
+                c = ir.blobs[bi].c
+                if bi in plan.blob_scale:
+                    np.testing.assert_array_equal(
+                        plan.blob_scale[li + 1][off:off + c],
+                        plan.blob_scale[bi])
+                off += c
+
+
+def test_per_channel_forward_at_least_as_accurate():
+    """End-to-end on the micro net (dense+depthwise convs, SPP pools,
+    route groups, shortcut): the per-channel int8 forward stays within the
+    mixed-plan tolerance of the float reference AND its head error does
+    not exceed the per-tensor plan's (deterministic: fixed seeds)."""
+    from ffcnn_tpu.graph.build import forward_features
+
+    ir, params, plan_pt = _micro_setup(per_channel=False)
+    _, _, plan_pc = _micro_setup(per_channel=True)
+    assert set(plan_pc.blob_scale) == set(plan_pt.blob_scale)
+    assert set(plan_pc.weights) == set(plan_pt.weights)
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    ref = forward_features(ir, params, x)
+    got_pt = forward_features(ir, params, x, quant=plan_pt)
+    got_pc = forward_features(ir, params, x, quant=plan_pc)
+    err_pt = err_pc = 0.0
+    for r, a, b in zip(ref, got_pt, got_pc):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(b), r, rtol=0.25, atol=0.15)
+        err_pt += float(np.mean(np.abs(np.asarray(a) - r)))
+        err_pc += float(np.mean(np.abs(np.asarray(b) - r)))
+    assert err_pc <= err_pt * 1.02, (err_pc, err_pt)
+
+
+def test_per_channel_save_load_roundtrip(tmp_path):
+    from ffcnn_tpu.quant import load_plan, save_plan
+
+    _, _, plan = _micro_setup(per_channel=True)
+    p = str(tmp_path / "plan_pc.npz")
+    save_plan(p, plan)
+    got = load_plan(p)
+    assert got.per_channel and got.min_channels == plan.min_channels
+    assert set(got.blob_scale) == set(plan.blob_scale)
+    for bi in plan.blob_scale:
+        np.testing.assert_array_equal(got.blob_scale[bi],
+                                      plan.blob_scale[bi])
+    for li in plan.weights:
+        assert got.weights[li]["xs"] == 1.0
+        np.testing.assert_array_equal(np.asarray(got.weights[li]["wq"]),
+                                      np.asarray(plan.weights[li]["wq"]))
+
+
 def test_fused_env_kill_switch(monkeypatch):
     from ffcnn_tpu.kernels.block_fused import runs_usable
     monkeypatch.setenv("FFCNN_FUSED", "0")

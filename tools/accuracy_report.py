@@ -90,7 +90,7 @@ def average_precision(preds, gts, iou_thr):
     return float(ap)
 
 
-def score_mode(corpus, binary, mode, topk):
+def score_mode(corpus, binary, mode, topk, calib="self"):
     """(map50, map75, mean_matched_iou, n_pred, n_gt, per_class) for one
     pipeline mode over the whole corpus, C output as ground truth."""
     preds = defaultdict(list)          # class -> [(img, score, box)]
@@ -98,7 +98,8 @@ def score_mode(corpus, binary, mode, topk):
     ious = []
     img_id = 0
     for geo, paths in sorted(corpus.items()):
-        t_lines = run_tpu_batch(CFG, WEIGHTS, paths, mode=mode, topk=topk)
+        t_lines = run_tpu_batch(CFG, WEIGHTS, paths, mode=mode, topk=topk,
+                                calib=calib)
         for p, tl in zip(paths, t_lines):
             cl = run_c(binary, p, CFG, WEIGHTS)
             for ln in cl:
@@ -152,6 +153,10 @@ def main(argv=None) -> int:
                          "reference's own correctness oracle)")
     ap.add_argument("--platform", default="cpu", choices=("cpu", "device"))
     ap.add_argument("--topk", type=int, default=128)
+    ap.add_argument("--calib", default="self", choices=("self", "corpus"),
+                    help="int8 calibration: the pipeline's 8-frame "
+                         "self-calibration, or explicit calibrate() on "
+                         "the whole corpus (production recommendation)")
     ap.add_argument("--work-dir", default="/tmp/ffcnn_differential")
     args = ap.parse_args(argv)
 
@@ -165,7 +170,7 @@ def main(argv=None) -> int:
     summary = {"corpus_images": n, "gt_variant": args.variant,
                "platform": args.platform}
     for mode in args.modes:
-        r = score_mode(corpus, binary, mode, args.topk)
+        r = score_mode(corpus, binary, mode, args.topk, calib=args.calib)
         summary[mode] = {k: r[k] for k in
                          ("map50", "map75", "mean_matched_iou",
                           "n_pred", "n_gt")}

@@ -47,6 +47,11 @@ CONFIGS = [
     # the neighbors of the peak
     ("casc2_minc24", {"FFCNN_FUSED_CASCADE": "2"}),
     ("casc4_minc24", {"FFCNN_FUSED_CASCADE": "4"}),
+    # cascade WITHOUT down at the C16 stage: every earlier minc16 loss
+    # (34.4-35.7k) had FFCNN_FUSED_DOWN=1; casc3 minus down is the r4
+    # measured winner direction, so re-score C16 under it
+    ("casc3_minc16", {"FFCNN_FUSED_CASCADE": "3",
+                      "FFCNN_FUSED_MINC": "16"}),
     ("down_minc24_casc5", {"FFCNN_FUSED_DOWN": "1",
                            "FFCNN_FUSED_CASCADE": "5"}),
     ("down_minc8_f32_casc3", {"FFCNN_FUSED_DOWN": "1",

@@ -210,10 +210,15 @@ def generate_corpus(out_dir: str, n_max: int = 0) -> Dict[Tuple[int, int],
 
 # ------------------------------------------------------------- TPU side
 def run_tpu_batch(cfg: str, weights, img_paths: Sequence[str],
-                  mode: str = "parity", topk: int = 128) -> List[List[str]]:
+                  mode: str = "parity", topk: int = 128,
+                  calib: str = "self") -> List[List[str]]:
     """Detect all same-geometry images in ONE batched pipeline call;
     returns formatted box lines per image.  ``weights`` may be a path or
-    raw darknet bytes (synth zoo weights)."""
+    raw darknet bytes (synth zoo weights).  ``calib`` (int8 mode only):
+    'self' = the pipeline's own first-8-frames self-calibration;
+    'corpus' = explicit calibrate() on ALL the images first (the
+    production recommendation — per-channel scales especially need a
+    representative range per channel)."""
     from ffcnn_tpu import Net
     from ffcnn_tpu.darknet import parse_cfg
     from ffcnn_tpu.darknet.weights import load_weights
@@ -225,6 +230,8 @@ def run_tpu_batch(cfg: str, weights, img_paths: Sequence[str],
     params, _ = load_weights(ir, weights)
     net = Net(ir, params, mode=mode, topk=topk)
     batch = np.stack(imgs)
+    if mode == "int8" and calib == "corpus":
+        net.calibrate(batch)
     dets = net.detect(batch)
     return [format_detections(d) for d in dets]
 

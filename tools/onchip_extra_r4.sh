@@ -10,8 +10,8 @@ cd "$(dirname "$0")/.."
 
 # 0. cascade-depth refinement around the measured peak (0: 37.6k,
 # 3: 38.9k, 5: 36.2k) + re-fold tuned defaults if a neighbor wins.
-timeout 3600 $PY tools/bench_regions.py -o $OUT/regions.jsonl --configs \
-    casc2_minc24 casc4_minc24 >> $OUT/regions.log 2>&1
+timeout 5400 $PY tools/bench_regions.py -o $OUT/regions.jsonl --configs \
+    casc2_minc24 casc4_minc24 casc3_minc16 >> $OUT/regions.log 2>&1
 timeout 300 $PY tools/apply_tuning.py --regions $OUT/regions.jsonl \
     --int8 "$OUT/int8_tuned_*.json" > $OUT/tuning3.json 2>$OUT/tuning3.err
 
@@ -26,5 +26,12 @@ timeout 3000 $PY tools/bisect_smallc.py --store f32 \
 # reference's published workload (ffcnn.c:573, readme.txt:114-126).
 timeout 1800 $PY tools/profile_layers.py 128 640x448 \
     > $OUT/profile_640x448.txt 2>&1
+
+# C. int8 per-channel activation scales (FFCNN_INT8_PERCH, the r4
+# accuracy lever): throughput leg — the epilogue multiply becomes a
+# vector and fused-run interior int8 falls back to float, so confirm
+# ~parity with the scalar plan before any default flip.
+MODE=int8 FFCNN_INT8_PERCH=1 timeout 1800 $PY tools/bench_flags.py \
+    > $OUT/int8_perch.json 2>$OUT/int8_perch.err
 
 echo EXTRA DONE
