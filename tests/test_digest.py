@@ -54,6 +54,8 @@ def test_digest_renders_all_sections(tmp_path):
          "dwonly": "FAIL XlaRuntimeError", "pwonly": 590.0,
          "full": 800.0, "xla": 700.0, "tpose": 250.0}) + "\n")
     (d / "profile_640x448.txt").write_text("conv 9000 us\n")
+    (d / "accuracy_tpu.log").write_text("int8 mAP@0.5 0.962\n")
+    (d / "accuracy_tpu_perch.log").write_text("int8 mAP@0.5 1.000\n")
 
     out = tmp_path / "digest.md"
     assert digest_onchip.main(["--dir", str(d), "--out", str(out)]) == 0
@@ -65,7 +67,9 @@ def test_digest_renders_all_sections(tmp_path):
                     "fast-mode drift", "VMEM rows boundary sweep",
                     "Cascade-depth refinement re-fold",
                     "bisection, store=bf16", "bisection, store=f32",
-                    "Demo-geometry profile"):
+                    "Demo-geometry profile",
+                    "TPU-side detection-set accuracy",
+                    "per-channel scales + corpus calibration"):
         assert section in text, section
     assert "FAIL XlaRuntimeError" in text
     assert "down_minc8_f32" in text and "45000" in text

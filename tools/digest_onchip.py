@@ -123,6 +123,12 @@ def main(argv=None) -> int:
                "(tools/accuracy_report.py, C v0 oracle as ground truth)",
                "", "```", acc, "```"]
 
+    acc_perch = _tail(os.path.join(d, "accuracy_tpu_perch.log"), 12)
+    if acc_perch:
+        md += ["", "## TPU-side int8 accuracy, per-channel scales + corpus "
+               "calibration (the r4 scheme; CPU score was 1.000@0.5)",
+               "", "```", acc_perch, "```"]
+
     for store in ("bf16", "f32"):
         bis = _jsonl(os.path.join(d, f"bisect_{store}.jsonl"))
         if bis:

@@ -34,4 +34,15 @@ timeout 1800 $PY tools/profile_layers.py 128 640x448 \
 MODE=int8 FFCNN_INT8_PERCH=1 timeout 1800 $PY tools/bench_flags.py \
     > $OUT/int8_perch.json 2>$OUT/int8_perch.err
 
+# D. device-side mAP for the winning int8 scheme (per-channel scales +
+# corpus calibration — CPU-backend score was 1.000@0.5; confirm the
+# TPU backend reproduces it, closing VERDICT r3 #6 for the r4 scheme).
+FFCNN_INT8_PERCH=1 timeout 3600 $PY tools/accuracy_report.py \
+    --platform device --modes int8 --calib corpus \
+    > $OUT/accuracy_tpu_perch.log 2>&1
+
+# E. re-render the repo digest so stages 0/A-D land in ONCHIP_R4.md
+# (the session script's digest stage runs BEFORE this extra hook).
+timeout 300 $PY tools/digest_onchip.py >> $OUT/digest.log 2>&1
+
 echo EXTRA DONE
