@@ -10,7 +10,8 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
-from accuracy_report import _iou, average_precision  # noqa: E402
+from accuracy_report import (_iou, average_precision,  # noqa: E402
+                             weighted_map)
 
 
 def test_iou_identity_and_disjoint():
@@ -68,3 +69,18 @@ def test_ap_iou_threshold_gates_match():
     shifted = [(0, 0.9, (5, 0, 14, 9))]      # IoU 1/3
     assert average_precision(shifted, gts, 0.5) == 0.0
     assert average_precision(shifted, gts, 0.3) == pytest.approx(1.0)
+
+
+def test_weighted_map_by_gt_count():
+    """A 2-box class at AP 0.5 must not outvote a 60-box class at 1.0:
+    macro mean would say 0.75; weighted says (60*1.0 + 2*0.5)/62."""
+    ap = {0: 1.0, 19: 0.5}
+    per_class = {0: {"n_gt": 60}, 19: {"n_gt": 2}}
+    assert weighted_map(ap, per_class) == pytest.approx(61 / 62)
+
+
+def test_weighted_map_skips_none_and_empty():
+    ap = {0: 1.0, 1: None, 2: 0.0}
+    per_class = {0: {"n_gt": 10}, 1: {"n_gt": 0}, 2: {"n_gt": 0}}
+    assert weighted_map(ap, per_class) == pytest.approx(1.0)
+    assert weighted_map({}, {}) is None

@@ -90,9 +90,56 @@ def average_precision(preds, gts, iou_thr):
     return float(ap)
 
 
-def score_mode(corpus, binary, mode, topk, calib="self"):
+def weighted_map(ap_by_class, per_class):
+    """GT-count-weighted mean AP.  Macro mAP gives a 2-box class the
+    same vote as a 60-box one, so on a small corpus a single knife-edge
+    box flip dominates the ranking; the weighted flavor is what
+    actually resolves near-tied schemes."""
+    pairs = [(v, per_class[c]["n_gt"]) for c, v in ap_by_class.items()
+             if v is not None and per_class[c]["n_gt"] > 0]
+    if not pairs:
+        return None
+    return float(sum(v * n for v, n in pairs) / sum(n for _, n in pairs))
+
+
+def collect_gt(corpus, binary, work_dir):
+    """Run the C oracle once per image; returns {path: [box lines]}.
+
+    Disk-cached by (binary variant dir, bmp content sha1) in
+    ``work_dir`` — the corpus is deterministic, the C binary is the
+    pinned oracle, so GT never needs recomputing across modes, calib
+    schemes, or sessions (conv-v0 at 640x448 is the slow leg here)."""
+    import hashlib
+    variant = os.path.basename(os.path.dirname(binary))
+    cache_path = os.path.join(work_dir, f"gt_{variant}.json")
+    cache = {}
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except ValueError:
+            cache = {}
+    gt, dirty = {}, False
+    for geo, paths in sorted(corpus.items()):
+        for p in paths:
+            with open(p, "rb") as f:
+                key = hashlib.sha1(f.read()).hexdigest()
+            if key not in cache:
+                cache[key] = run_c(binary, p, CFG, WEIGHTS)
+                dirty = True
+            gt[p] = cache[key]
+    if dirty:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.replace(tmp, cache_path)
+    return gt
+
+
+def score_mode(corpus, gt_lines, mode, topk, calib="self"):
     """(map50, map75, mean_matched_iou, n_pred, n_gt, per_class) for one
-    pipeline mode over the whole corpus, C output as ground truth."""
+    pipeline mode over the whole corpus, C output as ground truth
+    (``gt_lines``: {path: [box lines]} from collect_gt)."""
     preds = defaultdict(list)          # class -> [(img, score, box)]
     gts = defaultdict(lambda: defaultdict(list))   # class -> img -> [box]
     ious = []
@@ -101,8 +148,7 @@ def score_mode(corpus, binary, mode, topk, calib="self"):
         t_lines = run_tpu_batch(CFG, WEIGHTS, paths, mode=mode, topk=topk,
                                 calib=calib)
         for p, tl in zip(paths, t_lines):
-            cl = run_c(binary, p, CFG, WEIGHTS)
-            for ln in cl:
+            for ln in gt_lines[p]:
                 c, s, *box = _parse_line(ln)
                 gts[c][img_id].append(tuple(box))
             for ln in tl:
@@ -134,6 +180,8 @@ def score_mode(corpus, binary, mode, topk, calib="self"):
     vals75 = [v for v in ap75.values() if v is not None]
     return {"map50": float(np.mean(vals50)) if vals50 else None,
             "map75": float(np.mean(vals75)) if vals75 else None,
+            "wmap50": weighted_map(ap50, per_class),
+            "wmap75": weighted_map(ap75, per_class),
             "mean_matched_iou": float(np.mean(ious)) if ious else None,
             "n_pred": sum(len(v) for v in preds.values()),
             "n_gt": sum(len(v) for vv in gts.values()
@@ -157,26 +205,33 @@ def main(argv=None) -> int:
                     help="int8 calibration: the pipeline's 8-frame "
                          "self-calibration, or explicit calibrate() on "
                          "the whole corpus (production recommendation)")
+    ap.add_argument("--tier", default="std", choices=("std", "wide"),
+                    help="corpus tier: std (48 images) or wide (~110 — "
+                         "enough GT boxes that mAP resolves near-tied "
+                         "schemes)")
     ap.add_argument("--work-dir", default="/tmp/ffcnn_differential")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
         force_cpu_backend()
     corpus = generate_corpus(os.path.join(args.work_dir, "corpus"),
-                             args.images)
+                             args.images, tier=args.tier)
     n = sum(len(v) for v in corpus.values())
     binary = build_reference(args.variant)
     print(f"corpus: {n} images; ground truth: reference {args.variant}")
+    gt_lines = collect_gt(corpus, binary, args.work_dir)
     summary = {"corpus_images": n, "gt_variant": args.variant,
-               "platform": args.platform}
+               "platform": args.platform, "tier": args.tier}
     for mode in args.modes:
-        r = score_mode(corpus, binary, mode, args.topk, calib=args.calib)
+        r = score_mode(corpus, gt_lines, mode, args.topk, calib=args.calib)
         summary[mode] = {k: r[k] for k in
-                         ("map50", "map75", "mean_matched_iou",
-                          "n_pred", "n_gt")}
+                         ("map50", "map75", "wmap50", "wmap75",
+                          "mean_matched_iou", "n_pred", "n_gt")}
         fmt = lambda v: "n/a" if v is None else f"{v:.4f}"
         print(f"{mode:>7s}: mAP@0.5 {fmt(r['map50'])}  "
               f"mAP@0.75 {fmt(r['map75'])}  "
+              f"wmAP@0.5 {fmt(r['wmap50'])}  "
+              f"wmAP@0.75 {fmt(r['wmap75'])}  "
               f"mean-IoU {fmt(r['mean_matched_iou'])}  "
               f"({r['n_pred']} pred / {r['n_gt']} gt)")
         for c, pc in sorted(r["per_class"].items()):
