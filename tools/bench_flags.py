@@ -36,15 +36,24 @@ def main():
             or os.environ.get("LIBTPU_INIT_ARGS")):
         from ffcnn_tpu import enable_compile_cache
         enable_compile_cache()
-    net = Net.load(CFG, WEIGHTS, mode=os.environ.get("MODE", "fast"))
+    mode = os.environ.get("MODE", "fast")
+    net = Net.load(CFG, WEIGHTS, mode=mode)
     img = bmp_load(os.path.join(REPO, "tests", "fixtures", "test320.bmp"))
+    # int8 needs activation scales before it can pass any golden gate, and
+    # its tolerance is the bench.py int8-gate one (12px), not fast's 2px —
+    # without this every device int8 row read golden_ok:false and
+    # apply_tuning discarded the whole A/B (r4 queue stage 2).
+    tol = 2
+    if mode == "int8":
+        net.calibrate(img[None])
+        tol = 12
 
-    # golden sanity (fast-mode tolerance: classes exact, boxes within 2px)
+    # golden sanity (classes exact, boxes within mode tolerance)
     golden = [(0, (90, 66, 135, 292)), (18, (215, 111, 306, 248)),
               (16, (35, 196, 106, 268))]
     dets = net.detect(img)
     ok = len(dets) == len(golden) and all(
-        d.class_id == cat and all(abs(g - v) <= 2 for g, v in
+        d.class_id == cat and all(abs(g - v) <= tol for g, v in
                                   zip(rect, (d.x1, d.y1, d.x2, d.y2)))
         for d, (cat, rect) in zip(dets, golden))
 
@@ -61,7 +70,7 @@ def main():
     jax.block_until_ready(res)
     dets0 = [d for d in net._to_detections(res)[0]]
     ok_batch = len(dets0) == len(golden) and all(
-        d.class_id == cat and all(abs(g - v) <= 2 for g, v in
+        d.class_id == cat and all(abs(g - v) <= tol for g, v in
                                   zip(rect, (d.x1, d.y1, d.x2, d.y2)))
         for d, (cat, rect) in zip(dets0, golden))
     dt = float("inf")
