@@ -41,7 +41,41 @@ FFCNN_INT8_PERCH=1 timeout 3600 $PY tools/accuracy_report.py \
     --platform device --modes int8 --calib corpus \
     > $OUT/accuracy_tpu_perch.log 2>&1
 
-# E. re-render the repo digest so stages 0/A-D land in ONCHIP_R4.md
+# F. bench.py-harness cascade A/B (back-to-back, same tunnel window):
+# the r4 headline with tuned casc3 (38,102) undercut the r3 headline
+# (39,600, different day) even though the bench_regions harness measured
+# casc3 +3.5% same-day — decide the default in the harness that records
+# the ledger.  Keep casc3 only if it wins here too; else revert.
+FFCNN_FUSED_CASCADE=0 timeout 5400 $PY bench.py \
+    > $OUT/bench_nocasc.json 2>$OUT/bench_nocasc.log
+timeout 5400 $PY bench.py > $OUT/bench_casc3.json 2>$OUT/bench_casc3.log
+$PY - <<'PYEOF' > $OUT/casc_reconcile.log 2>&1
+import json, os
+def ips(p):
+    with open(p) as f:
+        return json.load(f)["fast_img_s"]
+try:
+    no, yes = ips("/tmp/onchip/bench_nocasc.json"), \
+              ips("/tmp/onchip/bench_casc3.json")
+except Exception as e:
+    print("A/B incomplete, tuned defaults unchanged:", e)
+    raise SystemExit(0)
+print(f"bench.py harness: nocasc {no:.1f} vs casc3 {yes:.1f} "
+      f"({yes/no:.4f}x)")
+path = "ffcnn_tpu/tuned_defaults.json"
+if yes < no * 1.01:   # casc3 must confirm >=1% in the ledger harness
+    d = json.load(open(path))
+    d["flags"].pop("FFCNN_FUSED_CASCADE", None)
+    d.setdefault("provenance", {})["casc3_reverted"] = (
+        f"bench.py A/B: nocasc {no:.1f} vs casc3 {yes:.1f} — "
+        "bench_regions +3.5% did not reproduce in the ledger harness")
+    json.dump(d, open(path, "w"), indent=2)
+    print("REVERTED casc3 from tuned defaults")
+else:
+    print("casc3 CONFIRMED in bench.py harness — tuned defaults stand")
+PYEOF
+
+# E. re-render the repo digest so stages 0/A-F land in ONCHIP_R4.md
 # (the session script's digest stage runs BEFORE this extra hook).
 timeout 300 $PY tools/digest_onchip.py >> $OUT/digest.log 2>&1
 
