@@ -57,12 +57,50 @@ def fold_input_transform(ir: NetIR, params: Dict, mean, norm) -> Dict:
     return out
 
 
+def head_chain_layers(ir: NetIR) -> frozenset:
+    """Layer indices of every linear conv chain feeding a YOLO head: from
+    each yolo layer walk back over convs whose output has that single
+    consumer (yolo-fastest: dw5x5/pw chains 116-120 and 125-129, ending
+    at the route/branch point).  Used by the FFCNN_HEAD_F32 accuracy knob
+    (the fast-mode wide-corpus drops are conf-threshold knife-edges born
+    in these last few layers — docs/PERF_NOTES.md round 4)."""
+    cons = _chain_consumers(ir)
+    out = set()
+    for yi, l in enumerate(ir.layers):
+        if l.type != LayerType.YOLO:
+            continue
+        j = yi - 1
+        # layer j produces blob j+1; chain membership requires its only
+        # consumer to be the immediately following layer
+        while (j >= 0 and ir.layers[j].type == LayerType.CONV
+               and cons.get(j + 1, []) == [j + 1]):
+            out.add(j)
+            j -= 1
+    return frozenset(out)
+
+
+def _chain_consumers(ir: NetIR) -> Dict[int, List[int]]:
+    """blob index -> layer indices reading it (direct input + route/
+    shortcut deps), mirroring run_layer's reads."""
+    cons: Dict[int, List[int]] = {}
+    for li, l in enumerate(ir.layers):
+        if l.type == LayerType.ROUTE:
+            for d in l.depends:
+                cons.setdefault(d + 1, []).append(li)
+        else:
+            cons.setdefault(li, []).append(li)
+            if l.type == LayerType.SHORTCUT:
+                cons.setdefault(l.depends[0] + 1, []).append(li)
+    return cons
+
+
 def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                      accum_dtype=jnp.float32, input_dtype=None,
                      quant=None, blob_hook=None, fused_runs=None,
                      head_runs=None, fused_interpret: bool = False,
                      conv0_int8: bool = False,
                      conv0_pallas: bool = False,
+                     f32_layers=None,
                      start: int = 0, stop: Optional[int] = None,
                      blobs_in: Optional[Dict[int, jnp.ndarray]] = None,
                      keep_blobs: Optional[List[int]] = None) -> List:
@@ -209,7 +247,14 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             p = params[li]
             w, scale, bias = (p["weights"], p["scale"], p["bias"]) \
                 if isinstance(p, dict) else (p.weights, p.scale, p.bias)
-            y = conv2d_fused(deq(li, inp), jnp.asarray(w), jnp.asarray(scale),
+            x_in = deq(li, inp)
+            if f32_layers and li in f32_layers:
+                # FFCNN_HEAD_F32: compute this conv (and, since conv2d_fused
+                # emits in its input dtype, everything downstream of it up
+                # to the yolo decode) in f32 — kills the bf16 conf-threshold
+                # knife-edges born in the tiny head chains at ~zero cost.
+                x_in = x_in.astype(jnp.float32)
+            y = conv2d_fused(x_in, jnp.asarray(w), jnp.asarray(scale),
                              jnp.asarray(bias), stride=layer.stride,
                              pad=layer.pad, groups=layer.groups,
                              act=layer.activation, precision=precision,

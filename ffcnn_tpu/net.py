@@ -56,6 +56,7 @@ _TRACE_ENV_FLAGS = ("FFCNN_FUSED", "FFCNN_FUSED_HEADS", "FFCNN_FUSED_MEGA",
                     "FFCNN_FUSED_STORE", "FFCNN_FUSED_CASCADE",
                     "FFCNN_CONV0_INT8",
                     "FFCNN_CONV0_PALLAS", "FFCNN_PLANAR_HEADS",
+                    "FFCNN_HEAD_F32",
                     "FFCNN_TOPK_IMPL", "FFCNN_DECODE_IMPL",
                     "FFCNN_NMS_IMPL")
 
@@ -446,11 +447,24 @@ class Net:
             if self.mode != "parity" and \
                     os.environ.get("FFCNN_PLANAR_HEADS", "0") == "1":
                 params, pflags = _planarize_heads(ir, params, quant)
+            # FFCNN_HEAD_F32: run the linear conv chains feeding each yolo
+            # head in f32 (head_chain_layers) — recovers the bf16 conf-
+            # threshold knife-edge boxes the wide corpus exposed.  The
+            # chains are ~1% of traffic.  Float modes only (parity already
+            # IS f32; int8-planned chain layers take the int8 path and
+            # ignore it); supersedes head_runs (bf16 Pallas) when set.
+            f32set = None
+            if self.mode != "parity" and \
+                    get_flag("FFCNN_HEAD_F32", "0") == "1":
+                from .graph.build import head_chain_layers
+                f32set = head_chain_layers(ir)
+                hruns = None
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
                                      fused_runs=runs, head_runs=hruns,
                                      conv0_int8=c0q, conv0_pallas=c0p,
-                                     fused_interpret=interp)
+                                     fused_interpret=interp,
+                                     f32_layers=f32set)
             yolo_lis = [yli for yli, l in enumerate(ir.layers)
                         if l.type == LayerType.YOLO]
             decoded = concat_heads([

@@ -196,3 +196,51 @@ def test_planar_pipeline_bit_identical(ref_cfg, ref_weights, monkeypatch):
                         ("boxes", "scores", "classes", "count", "sat")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+def test_head_chain_layers_flagship(ref_cfg):
+    """Chain discovery: the two dw5x5/pw chains feeding the yolo heads
+    (116-120 and 125-129); layer 115 is excluded (its blob also feeds
+    route 122), as is route 124."""
+    from ffcnn_tpu.darknet.cfg import parse_cfg
+    from ffcnn_tpu.graph.build import head_chain_layers
+    ir = parse_cfg(open(ref_cfg).read())
+    assert head_chain_layers(ir) == (frozenset(range(116, 121))
+                                     | frozenset(range(125, 130)))
+
+
+def test_head_f32_mechanism_and_golden(ref_cfg, ref_weights, monkeypatch):
+    """FFCNN_HEAD_F32=1: the head feature maps come out f32 (the upcast at
+    the chain start propagates, graph/build.py), and the end-to-end
+    detections still match the golden fixture at fast tolerance."""
+    import conftest
+    import jax.numpy as jnp
+    from ffcnn_tpu import Net
+    from ffcnn_tpu.darknet.cfg import parse_cfg
+    from ffcnn_tpu.darknet.weights import load_weights
+    from ffcnn_tpu.graph.build import (forward_features, head_chain_layers,
+                                       params_to_pytree)
+    from ffcnn_tpu.imageio.bmp import bmp_load
+    from ffcnn_tpu.ops.preprocess import letterbox
+
+    ir = parse_cfg(open(ref_cfg).read())
+    params = params_to_pytree(load_weights(ir, ref_weights)[0])
+    img = bmp_load(conftest.fixture_path("test320.bmp"))
+    x = letterbox(jnp.asarray(img[None]), ir.blobs[0].w, ir.blobs[0].h,
+                  (0.0, 0.0, 0.0), (1 / 255.0,) * 3, dtype=jnp.bfloat16)
+    plain = forward_features(ir, params, x, input_dtype=jnp.bfloat16)
+    assert all(f.dtype == jnp.bfloat16 for f in plain)
+    up = forward_features(ir, params, x, input_dtype=jnp.bfloat16,
+                          f32_layers=head_chain_layers(ir))
+    assert all(f.dtype == jnp.float32 for f in up)
+
+    monkeypatch.setenv("FFCNN_HEAD_F32", "1")
+    net = Net.load(ref_cfg, ref_weights, mode="fast")
+    dets = net.detect(img)
+    golden = [(0, (90, 66, 135, 292)), (18, (215, 111, 306, 248)),
+              (16, (35, 196, 106, 268))]
+    assert len(dets) == len(golden)
+    for d, (cat, rect) in zip(dets, golden):
+        assert d.class_id == cat
+        assert all(abs(g - v) <= 2 for g, v in
+                   zip(rect, (d.x1, d.y1, d.x2, d.y2)))
