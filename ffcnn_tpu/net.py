@@ -288,11 +288,19 @@ class Net:
         static roofline floors attached — each layer row shows how far its
         measured device time sits above its HBM/MXU bound."""
         from .profiling import profile_layers as _pl
+        from .kernels.block_fused import runs_usable
+        from .kernels.head_fused import head_runs_usable
         if batch is None:
             net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
             batch = np.zeros((8, net_h, net_w, 3), np.uint8)
         batch = jnp.asarray(batch)
-        rep = _pl(lambda: self.detect_device(batch), self.ir, iters)
+        runs = []
+        if self._fused_runs and runs_usable(batch.shape[0]):
+            runs += [(r.start, r.end) for r in self._fused_runs]
+        if self._head_runs and head_runs_usable(batch.shape[0]):
+            runs += [(r.start, r.end) for r in self._head_runs]
+        rep = _pl(lambda: self.detect_device(batch), self.ir, iters,
+                  runs=runs or None)
         rep.floors_us = {c.index: c.floor_us()
                          for c in self.roofline_costs(batch.shape[0])}
         return rep

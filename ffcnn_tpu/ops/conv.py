@@ -111,9 +111,13 @@ def conv2d_int8(xq, wq, x_scale: float, w_scale, bias, *, stride: int,
     * ``out_scale``: if set, requantize the result to int8 at that scale
       (scalar or per-channel (fn,) vector); otherwise emit ``float_dtype``.
 
-    The int8 MXU runs at 2x the bf16 rate and int8 blobs halve HBM traffic
-    (the actual win on this memory-bound net); the requant/dequant
-    elementwise ops fuse into the conv epilogue.
+    The int8 MXU runs at 2x the bf16 rate and int8 blobs halve HBM traffic;
+    the requant/dequant elementwise ops fuse into the conv epilogue.
+    MEASURED (r4, v5e, darknet scale): the mode never realizes a net win —
+    36,292 img/s vs fast's 38,931 at batch 256 (C<24 float fallbacks and
+    requant epilogues outweigh both effects), and wide-corpus mAP@0.5 is
+    0.73-0.78 vs fast's 0.96 (docs/PERF_NOTES.md round 4).  Kept, tested,
+    for C>=24-heavy models; fast mode is the deployment default.
     """
     acc = lax.conv_general_dilated(
         xq, wq,

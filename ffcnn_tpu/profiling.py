@@ -156,10 +156,17 @@ def trace_occupancy(trace_dir: str) -> Dict[str, float]:
 
 
 def profile_layers(run_step, ir: NetIR, iters: int = 10,
-                   trace_dir: Optional[str] = None) -> ProfileReport:
+                   trace_dir: Optional[str] = None,
+                   runs=None) -> ProfileReport:
     """Profile ``run_step()`` (a zero-arg callable dispatching one jitted
     step; the caller supplies warmed-up args via closure) and attribute
-    device time to layers.  Returns a :class:`ProfileReport`."""
+    device time to layers.  Returns a :class:`ProfileReport`.
+
+    ``runs``: optional ``[(start, end), ...]`` fused-region spans active in
+    the profiled pipeline — a region's whole device time lands on its
+    start-layer scope (``L{start}_fusedrun_to_{end}``), so its row is
+    labeled as the region rather than masquerading as the start layer
+    alone (whose single-layer floor would overstate "x floor" ~50x)."""
     import jax
 
     jax.block_until_ready(run_step())      # warm-up / compile
@@ -175,8 +182,13 @@ def profile_layers(run_step, ir: NetIR, iters: int = 10,
         if trace_dir is None:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    layers = [LayerProfile(li, LAYER_TYPE_NAMES[ir.layers[li].type],
-                           _layer_desc(ir, li), per_layer.get(li, 0.0))
+    run_of = {s: e for s, e in (runs or [])}
+    layers = [LayerProfile(li, ("fusedrun" if li in run_of
+                                else LAYER_TYPE_NAMES[ir.layers[li].type]),
+                           ("region L%03d..L%03d (%d layers)"
+                            % (li, run_of[li], run_of[li] - li + 1)
+                            if li in run_of else _layer_desc(ir, li)),
+                           per_layer.get(li, 0.0))
               for li in range(len(ir.layers))]
     by_type: Dict[str, float] = collections.Counter()
     for lp in layers:
