@@ -40,6 +40,23 @@ def _tail(path, n=30):
     return "\n".join(lines[-n:])
 
 
+def _err_summary(rec):
+    """One-cell summary of an error row: multi-line ANSI stderr tails make
+    the markdown table unreadable (r4 minc8/minc1 rows)."""
+    err = rec.get("error")
+    if err is None:
+        return "?"
+    if err.startswith("timeout"):
+        return err
+    import re
+    lines = [l for l in re.sub(r"\x1b\[[0-9;]*m", "", err).splitlines()
+             if l.strip()]
+    tail = lines[-1][:90] if lines else ""
+    if "topology description" in tail or "AOT" in tail:
+        tail = "stderr ends at axon AOT init (silent compiler death)"
+    return "ERROR rc=%s: %s" % (rec.get("rc", "?"), tail)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/onchip")
@@ -60,7 +77,7 @@ def main(argv=None) -> int:
                "|---|---|---|---|---|"]
         for r in sorted(regions, key=lambda r: -(r.get("img_s") or 0)):
             md.append("| %s | %s | %s | %s | %s |" % (
-                r.get("config"), r.get("img_s", r.get("error", "?")),
+                r.get("config"), r.get("img_s", _err_summary(r)),
                 r.get("ms_batch", "-"), r.get("golden_ok", "-"),
                 r.get("golden_batch_ok", "-")))
 
@@ -74,7 +91,7 @@ def main(argv=None) -> int:
                "| run | img/s | golden | batched golden |", "|---|---|---|---|"]
         for r in int8:
             md.append("| %s | %s | %s | %s |" % (
-                r["_src"], r.get("img_s", r.get("error", "?")),
+                r["_src"], r.get("img_s", _err_summary(r)),
                 r.get("golden_ok", "-"), r.get("golden_batch_ok", "-")))
 
     tuning = _tail(os.path.join(d, "tuning.json"), 60)
@@ -94,6 +111,23 @@ def main(argv=None) -> int:
     if bench:
         md += ["", "## Headline bench (bench.py, tuned defaults)", "",
                "```json", json.dumps(bench[-1], indent=1), "```"]
+
+    # Stage F: back-to-back bench.py cascade A/B + automated reconcile
+    # (the ledger-harness check that the bench_regions +3.5% is real).
+    ab = []
+    for name, label in (("bench_nocasc.json", "cascade OFF"),
+                        ("bench_casc3.json", "tuned cascade")):
+        recs = _jsonl(os.path.join(d, name))
+        if recs:
+            r = recs[-1]
+            ab.append(f"* {label}: **{r.get('fast_img_s')}** img/s fast "
+                      f"(int8 {r.get('int8_img_s')})")
+    rec_log = _tail(os.path.join(d, "casc_reconcile.log"), 6)
+    if ab or rec_log:
+        md += ["", "## bench.py-harness cascade A/B (back-to-back, "
+               "same tunnel window)", ""] + ab
+        if rec_log:
+            md += ["", "```", rec_log, "```"]
 
     for name, title in (("stream.json", "Host-input stream A/B (fast)"),
                         ("stream_int8.json", "Host-input stream A/B (int8)")):
