@@ -47,6 +47,16 @@ HBM_GBPS_PEAK = 819.0
 HBM_GBPS_EFFECTIVE = 665.0       # measured through XLA on this v5e
 MXU_TFLOPS_BF16 = 197.0
 MXU_TOPS_INT8 = 394.0
+# Depthwise convs never touch the MXU (one input channel per output
+# channel — nothing to contract); they run on the VPU.  Effective rate
+# calibrated from the r4 on-chip per-layer profile (docs/PERF_NOTES.md):
+# dw3x3 160x160x8 3.5 TF/s, dw5x5 20x20x120 2.9, dw3x3 s2 rows 1.7 —
+# 3.5 is the best sustained, so it is the FLOOR rate (a floor must not
+# sit above achievable); the r4 bisect's dw-only legs refine this.
+# Without this term the small-spatial region kernels looked "55x off
+# floor" when they are in fact VPU-bound (r4 20x20 stage at 2x HBM
+# floor was the tell).
+VPU_TFLOPS_BF16 = 3.5
 
 _TILE_BYTES = {"bf16": (16, 2), "f32": (8, 4), "int8": (32, 1),
                "uint8": (32, 1)}
@@ -68,7 +78,8 @@ class LayerCost:
     index: int
     bytes_act: int                 # activation reads + writes
     bytes_w: int                   # weights read (per dispatch)
-    flops: int                     # 2 x MACs
+    flops: int                     # 2 x MACs on the MXU (dense convs)
+    vpu_flops: int = 0             # 2 x MACs on the VPU (depthwise convs)
 
     @property
     def bytes_total(self) -> int:
@@ -80,10 +91,15 @@ class LayerCost:
     def mxu_floor_us(self, tflops: float = MXU_TFLOPS_BF16) -> float:
         return self.flops / tflops / 1e6
 
+    def vpu_floor_us(self, tflops: float = VPU_TFLOPS_BF16) -> float:
+        return self.vpu_flops / tflops / 1e6
+
     def floor_us(self, gbps: float = HBM_GBPS_EFFECTIVE,
-                 tflops: float = MXU_TFLOPS_BF16) -> float:
-        """A layer cannot run faster than its slower bound."""
-        return max(self.hbm_floor_us(gbps), self.mxu_floor_us(tflops))
+                 tflops: float = MXU_TFLOPS_BF16,
+                 vpu_tflops: float = VPU_TFLOPS_BF16) -> float:
+        """A layer cannot run faster than its slowest bound."""
+        return max(self.hbm_floor_us(gbps), self.mxu_floor_us(tflops),
+                   self.vpu_floor_us(vpu_tflops))
 
 
 def _conv_flops(ir: NetIR, li: int, batch: int) -> int:
@@ -169,7 +185,15 @@ def layer_costs(ir: NetIR, batch: int, dtype: str = "bf16",
 
     out: List[LayerCost] = []
     for li, l in enumerate(ir.layers):
-        flops = _conv_flops(ir, li, batch) if l.type == LayerType.CONV else 0
+        flops = vpu = 0
+        if l.type == LayerType.CONV:
+            f = _conv_flops(ir, li, batch)
+            # depthwise (one input channel per output channel) has nothing
+            # to contract — it runs on the VPU, not the MXU
+            if l.groups > 1 and ir.blobs[li].c // l.groups == 1:
+                vpu = f
+            else:
+                flops = f
         if li in interior:
             run = interior[li]
             acts = 0
@@ -177,7 +201,7 @@ def layer_costs(ir: NetIR, batch: int, dtype: str = "bf16",
                 acts += blob_bytes(run.start, at_run_edge=True)
             if li == run.end:
                 acts += blob_bytes(run.end + 1, at_run_edge=True)
-            out.append(LayerCost(li, acts, weight_bytes(li), flops))
+            out.append(LayerCost(li, acts, weight_bytes(li), flops, vpu))
             continue
         if l.type == LayerType.YOLO:
             out.append(LayerCost(li, blob_bytes(li), 0, 0))
@@ -191,7 +215,8 @@ def layer_costs(ir: NetIR, batch: int, dtype: str = "bf16",
         elif l.type == LayerType.SHORTCUT:
             reads += blob_bytes(l.depends[0] + 1)
         writes = blob_bytes(li + 1)
-        out.append(LayerCost(li, reads + writes, weight_bytes(li), flops))
+        out.append(LayerCost(li, reads + writes, weight_bytes(li),
+                             flops, vpu))
     return out
 
 
@@ -225,9 +250,11 @@ def stage_costs(ir: NetIR, costs: List[LayerCost],
     for st in sorted(by_stage, key=lambda s: -s[0] * s[1]):
         cs = by_stage[st]
         out.append(StageCost(
-            st, sum(c.bytes_total for c in cs), sum(c.flops for c in cs),
+            st, sum(c.bytes_total for c in cs),
+            sum(c.flops + c.vpu_flops for c in cs),
             max(sum(c.hbm_floor_us(gbps) for c in cs),
-                sum(c.mxu_floor_us(tflops) for c in cs))))
+                sum(c.mxu_floor_us(tflops) for c in cs),
+                sum(c.vpu_floor_us() for c in cs))))
     return out
 
 
@@ -239,7 +266,8 @@ def render(ir: NetIR, costs: List[LayerCost], batch: int,
     supplied): bytes moved, FLOPs, floor, and how far above the floor the
     measured time sits."""
     lines = ["roofline (batch %d, %.0f GB/s effective HBM, %.0f bf16 "
-             "TFLOP/s):" % (batch, gbps, tflops)]
+             "MXU TFLOP/s, %.1f VPU TFLOP/s for depthwise):"
+             % (batch, gbps, tflops, VPU_TFLOPS_BF16)]
     hdr = "%10s %10s %9s %9s" % ("stage", "MB moved", "GFLOP", "floor us")
     if measured_us:
         hdr += " %11s %8s" % ("measured us", "x floor")

@@ -35,7 +35,10 @@ def test_conv_flops_hand_check(ir):
     # layer 0: 3x3 s2 conv 3->8 channels, 160x160 output (golden net_dump)
     assert costs[0].flops == 2 * 160 * 160 * 8 * 3 * 3 * 3
     # layer 2: depthwise 3x3 (groups=8, icg=1), 160x160x8 -> 160x160x8
-    assert costs[2].flops == 2 * 160 * 160 * 8 * 3 * 3 * 1
+    # -> VPU work (no contraction dim -> never on the MXU; r4 VPU term)
+    assert costs[2].flops == 0
+    assert costs[2].vpu_flops == 2 * 160 * 160 * 8 * 3 * 3 * 1
+    assert costs[0].vpu_flops == 0
     # dropout moves nothing, computes nothing
     drop = next(i for i, l in enumerate(ir.layers)
                 if l.type.name == "DROPOUT")
