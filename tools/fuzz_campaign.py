@@ -74,9 +74,14 @@ def main(argv=None) -> int:
     ap.add_argument("--seeds", type=int, default=200)
     ap.add_argument("--work-dir", default="/tmp/ffcnn_fuzz")
     ap.add_argument("--out", default="/tmp/ffcnn_fuzz/campaign.jsonl")
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "device"),
+                    help="cpu (hermetic, the 1000-seed campaign backend) or "
+                         "device (the real chip — each seed is a fresh "
+                         "compile; use small --seeds counts)")
     args = ap.parse_args(argv)
 
-    cd.force_cpu_backend()
+    if args.platform == "cpu":
+        cd.force_cpu_backend()
     binary = cd.build_reference("v0")
     os.makedirs(args.work_dir, exist_ok=True)
     n_ok = n_fail = 0
