@@ -658,6 +658,13 @@ def main(argv=None) -> int:
                          "v6 = published default, carries its dw5x5-bug "
                          "slack)")
     ap.add_argument("--skip-zoo", action="store_true")
+    ap.add_argument("--skip-flagship", action="store_true",
+                    help="zoo-only run (e.g. per-family retries through a "
+                         "flaky tunnel)")
+    ap.add_argument("--families", nargs="*", default=None,
+                    help="restrict the zoo to these families (default: all "
+                         "of C_DIALECT_ZOO + C_VARIANT_ZOO) — one family "
+                         "per process bounds tunnel-hiccup blast radius")
     ap.add_argument("--mode", default="parity",
                     choices=("parity", "fast", "int8"),
                     help="TPU-side pipeline mode.  parity gates exactness "
@@ -681,19 +688,30 @@ def main(argv=None) -> int:
     n = sum(len(v) for v in corpus.values())
     print(f"corpus: {n} images across {len(corpus)} geometries")
     rc = 0
+    fams = None
+    if args.families:
+        allz = dict(C_DIALECT_ZOO, **C_VARIANT_ZOO)
+        unknown = [f for f in args.families if f not in allz]
+        if unknown:
+            ap.error(f"unknown zoo families {unknown}; "
+                     f"known: {sorted(allz)}")
+        fams = {f: allz[f] for f in args.families}
     for variant in args.variants:
         binary = build_reference(variant)
-        res = diff_flagship(binary, corpus, mode=args.mode)
-        ok = flagship_ok(res, variant) if args.mode == "parity" else True
-        print(res.report(f"flagship[{args.mode}] vs {variant}", args.verbose)
-              + ("" if ok else "  <-- POLICY FAIL"))
-        rc = rc if ok else 1
+        if not args.skip_flagship:
+            res = diff_flagship(binary, corpus, mode=args.mode)
+            ok = flagship_ok(res, variant) if args.mode == "parity" else True
+            print(res.report(f"flagship[{args.mode}] vs {variant}",
+                             args.verbose)
+                  + ("" if ok else "  <-- POLICY FAIL"))
+            rc = rc if ok else 1
         if args.mode != "parity":
             continue                    # zoo policies are parity-calibrated
         if not args.skip_zoo:
             for name, zres in diff_zoo(
                     binary, os.path.join(args.work_dir,
-                                         f"zoo_{variant}")).items():
+                                         f"zoo_{variant}"),
+                    families=fams).items():
                 ok = zoo_ok(name, zres, variant)
                 print(zres.report(f"zoo {name} vs {variant}", args.verbose)
                       + ("" if ok else "  <-- POLICY FAIL"))
