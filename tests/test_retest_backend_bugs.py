@@ -35,6 +35,19 @@ def test_probe_registry_lists_all_recorded_bugs():
             assert "wedge" in ln
 
 
+def test_only_does_not_bypass_the_wedge_gate(tmp_path):
+    """A chip-livelock reproducer must refuse to run via --only without
+    the explicit --include-wedges opt-in."""
+    out = subprocess.run(
+        [sys.executable, TOOL, "--only", "reduce_bitcast_fusion_livelock",
+         "--out", str(tmp_path / "bb.jsonl")],
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode != 0
+    assert "include-wedges" in out.stderr
+    assert not (tmp_path / "bb.jsonl").exists() or \
+        not (tmp_path / "bb.jsonl").read_text().strip()
+
+
 def test_gspmd_probe_runs_and_records(tmp_path):
     ledger = tmp_path / "bb.jsonl"
     out = subprocess.run(

@@ -136,22 +136,21 @@ def collect_gt(corpus, binary, work_dir):
     return gt
 
 
-def score_mode(corpus, gt_lines, mode, topk, calib="self"):
-    """(map50, map75, mean_matched_iou, n_pred, n_gt, per_class) for one
-    pipeline mode over the whole corpus, C output as ground truth
-    (``gt_lines``: {path: [box lines]} from collect_gt)."""
+def score_lines(corpus, gt_lines, pred_lines):
+    """The scoring core shared by this report and the int8 attribution
+    sweep (tools/int8_attribution.py): VOC AP at 0.5/0.75 + matched-pair
+    IoU over already-collected box lines (both ``{path: [box lines]}``).
+    One implementation so the two harnesses cannot drift."""
     preds = defaultdict(list)          # class -> [(img, score, box)]
     gts = defaultdict(lambda: defaultdict(list))   # class -> img -> [box]
     ious = []
     img_id = 0
     for geo, paths in sorted(corpus.items()):
-        t_lines = run_tpu_batch(CFG, WEIGHTS, paths, mode=mode, topk=topk,
-                                calib=calib)
-        for p, tl in zip(paths, t_lines):
+        for p in paths:
             for ln in gt_lines[p]:
                 c, s, *box = _parse_line(ln)
                 gts[c][img_id].append(tuple(box))
-            for ln in tl:
+            for ln in pred_lines[p]:
                 c, s, *box = _parse_line(ln)
                 preds[c].append((img_id, s, tuple(box)))
             img_id += 1
@@ -187,6 +186,18 @@ def score_mode(corpus, gt_lines, mode, topk, calib="self"):
             "n_gt": sum(len(v) for vv in gts.values()
                         for v in vv.values()),
             "per_class": per_class}
+
+
+def score_mode(corpus, gt_lines, mode, topk, calib="self"):
+    """(map50, map75, mean_matched_iou, n_pred, n_gt, per_class) for one
+    pipeline mode over the whole corpus, C output as ground truth
+    (``gt_lines``: {path: [box lines]} from collect_gt)."""
+    pred_lines = {}
+    for geo, paths in sorted(corpus.items()):
+        t_lines = run_tpu_batch(CFG, WEIGHTS, paths, mode=mode, topk=topk,
+                                calib=calib)
+        pred_lines.update(zip(paths, t_lines))
+    return score_lines(corpus, gt_lines, pred_lines)
 
 
 def main(argv=None) -> int:

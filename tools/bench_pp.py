@@ -67,12 +67,21 @@ def _block(res):
     jax.tree.map(lambda a: a.block_until_ready(), res)
 
 
-def _time(fn, x, iters):
-    _block(fn(x))                                    # compile + warm
+def _time(fn, xs, iters):
+    """xs: one DISTINCT input per iteration (xs[-1] warms the compile).
+    Repeated identical dispatches undercount wildly on this stack
+    (CLAUDE.md measurement protocol) — every timed call gets its own
+    input."""
+    _block(fn(xs[-1]))                               # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        _block(fn(x))
+    for i in range(iters):
+        _block(fn(xs[i % len(xs)]))
     return (time.perf_counter() - t0) / iters
+
+
+def _variants(rng, n, shape):
+    return [jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
+            for _ in range(n)]
 
 
 def main(argv=None) -> int:
@@ -102,8 +111,8 @@ def main(argv=None) -> int:
     for M in (4, 8, 16):
         run = build_pp_pipeline(ir, params, mesh_pp, args.size, args.size,
                                 n_microbatches=M, topk=TOPK)
-        imgs = jnp.asarray(rng.integers(
-            0, 256, (M * mb, args.size, args.size, 3), dtype=np.uint8))
+        imgs = _variants(rng, args.iters,
+                         (M * mb, args.size, args.size, 3))
         t = _time(run, imgs, args.iters)
         rows.append((M, t))
         print(f"PP S={S} M={M:2d}: {t * 1e3:8.1f} ms/step  "
@@ -139,8 +148,8 @@ def main(argv=None) -> int:
     dp_spec = NamedSharding(mesh_dp, P(DATA_AXIS))
     dp_run = jax.jit(one_prog, in_shardings=dp_spec)
     n_imgs = 8 * mb
-    imgs = jnp.asarray(rng.integers(
-        0, 256, (n_imgs, args.size, args.size, 3), dtype=np.uint8))
+    imgs = _variants(rng, args.iters,
+                     (n_imgs, args.size, args.size, 3))
     t_dp = _time(dp_run, imgs, args.iters)
     t_pp8 = dict(rows)[8]
     print(f"DP  8 devices      : {t_dp * 1e3:8.1f} ms/step  "

@@ -24,15 +24,12 @@ import os
 import sys
 from collections import defaultdict
 
-import numpy as np
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from accuracy_report import _iou, average_precision  # noqa: E402
-from c_differential import (REFERENCE, _parse_line, build_reference,  # noqa: E402
-                            force_cpu_backend, generate_corpus, run_c,
+from c_differential import (REFERENCE, build_reference,  # noqa: E402
+                            force_cpu_backend, generate_corpus,
                             run_tpu_batch)
 
 CFG = os.path.join(REFERENCE, "yolo-fastest-1.1.cfg")
@@ -53,22 +50,12 @@ def eligible_groups(min_channels):
                        key=lambda kv: -int(kv[0][1:]))), ir
 
 
-def collect_gt(corpus, binary):
-    """C-oracle detections per image, computed once for the whole sweep."""
-    gt = {}                       # img_id -> [(class, box)]
-    img_id = 0
-    order = []                    # [(geo, path, img_id)]
-    for geo, paths in sorted(corpus.items()):
-        for p in paths:
-            gt[img_id] = [( _parse_line(ln)[0], tuple(_parse_line(ln)[2:]))
-                          for ln in run_c(binary, p, CFG, WEIGHTS)]
-            order.append((geo, p, img_id))
-            img_id += 1
-    return gt, order
-
-
-def score_config(corpus, order, gt, mode, topk, env):
-    """Run the pipeline with ``env`` merged into os.environ, score vs gt."""
+def score_config(corpus, gt_lines, mode, topk, env):
+    """Run the pipeline with ``env`` merged into os.environ, score vs the
+    C-oracle lines via accuracy_report.score_lines — the SAME scoring
+    implementation the mAP report uses, so the sweep's numbers are
+    directly comparable with (and cannot drift from) the report's."""
+    from accuracy_report import score_lines
     old = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
     try:
@@ -76,45 +63,17 @@ def score_config(corpus, order, gt, mode, topk, env):
         for geo, paths in sorted(corpus.items()):
             t_lines = run_tpu_batch(CFG, WEIGHTS, paths, mode=mode,
                                     topk=topk)
-            for p, tl in zip(paths, t_lines):
-                pred_lines[(geo, p)] = tl
+            pred_lines.update(zip(paths, t_lines))
     finally:
         for k, v in old.items():
             if v is None:
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
-
-    preds = defaultdict(list)     # class -> [(img, score, box)]
-    gts = defaultdict(lambda: defaultdict(list))
-    for geo, p, img_id in order:
-        for c, box in gt[img_id]:
-            gts[c][img_id].append(box)
-        for ln in pred_lines[(geo, p)]:
-            c, s, *box = _parse_line(ln)
-            preds[c].append((img_id, s, tuple(box)))
-    ap50, ap75, ious = [], [], []
-    for c in sorted(set(gts) | set(preds)):
-        g = gts.get(c, {})
-        a50 = average_precision(preds.get(c, []), g, 0.5)
-        a75 = average_precision(preds.get(c, []), g, 0.75)
-        if a50 is not None:
-            ap50.append(a50)
-        if a75 is not None:
-            ap75.append(a75)
-        used = {img: np.zeros(len(v), bool) for img, v in g.items()}
-        for img, _, box in sorted(preds.get(c, []), key=lambda q: -q[1]):
-            best, best_iou = -1, 0.5
-            for gi, gb in enumerate(g.get(img, [])):
-                if not used[img][gi] and _iou(box, gb) >= best_iou:
-                    best, best_iou = gi, _iou(box, gb)
-            if best >= 0:
-                used[img][best] = True
-                ious.append(best_iou)
-    return {"map50": round(float(np.mean(ap50)), 4) if ap50 else None,
-            "map75": round(float(np.mean(ap75)), 4) if ap75 else None,
-            "mean_iou": round(float(np.mean(ious)), 4) if ious else None,
-            "n_pred": sum(len(v) for v in preds.values())}
+    s = score_lines(corpus, gt_lines, pred_lines)
+    rnd = lambda v: round(v, 4) if v is not None else None
+    return {"map50": rnd(s["map50"]), "map75": rnd(s["map75"]),
+            "mean_iou": rnd(s["mean_matched_iou"]), "n_pred": s["n_pred"]}
 
 
 def main(argv=None) -> int:
@@ -139,13 +98,14 @@ def main(argv=None) -> int:
                              args.images)
     n = sum(len(v) for v in corpus.values())
     binary = build_reference("v0")
-    gt, order = collect_gt(corpus, binary)
+    from accuracy_report import collect_gt      # sha1-disk-cached oracle
+    gt_lines = collect_gt(corpus, binary, args.work_dir)
     print(f"corpus: {n} images; GT: reference v0")
 
     results = {}
 
     def row(label, mode, env):
-        r = score_config(corpus, order, gt, mode, args.topk, env)
+        r = score_config(corpus, gt_lines, mode, args.topk, env)
         results[label] = dict(r, env=env)
         fmt = lambda v: "n/a " if v is None else f"{v:.4f}"
         print(f"{label:>28s}: mAP@.5 {fmt(r['map50'])}  "

@@ -17,9 +17,15 @@ cd "$(dirname "$0")/.."
 # 0. health gate (retries up to 30 min)
 timeout 2100 $PY tools/tpu_health.py --wait 30 > $OUT/health.log 2>&1 || exit 1
 
-# 1. fused-region config matrix: seed good rows, run only the rest
+# 1. fused-region config matrix: seed good rows, run only the rest.
+# Seed source is the committed final r4 snapshot (the mid-queue partial
+# this queue originally seeded from was superseded and deleted); guard
+# the grep so a missing/empty seed never leaves an empty regions.jsonl
+# behind the [ ! -f ] check (that would skip baseline/casc3 rows and
+# contaminate the apply_tuning fold).
 if [ ! -f $OUT/regions.jsonl ]; then
-  grep '"img_s"' ONCHIP_PARTIAL_r04_regions.jsonl > $OUT/regions.jsonl
+  grep '"img_s"' docs/onchip_r4/regions.jsonl > $OUT/regions.jsonl \
+    || rm -f $OUT/regions.jsonl
 fi
 # --configs order = execution order: winner-candidate combos first, the
 # known-erroring minc8/minc1 diagnostics last (each can burn 2x1500 s).

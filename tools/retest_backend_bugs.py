@@ -268,11 +268,16 @@ def main(argv=None) -> int:
     for name, cls, timeout, code, note in PROBES:
         if args.only and name != args.only:
             continue
-        if not args.only:
-            if cls == "device" and not args.device:
-                continue
-            if cls == "wedge" and not args.include_wedges:
-                continue
+        # The class opt-ins gate --only too: a wedge probe in its current
+        # BROKEN state livelocks the chip for 5-15 min — that must never
+        # happen from a probe name typed without --include-wedges.
+        if cls == "wedge" and not args.include_wedges:
+            if args.only:
+                ap.error(f"{name} is a chip-livelock reproducer; "
+                         "add --include-wedges to run it")
+            continue
+        if cls == "device" and not (args.device or args.only):
+            continue
         sel.append((name, cls, timeout, code, note))
     if args.list:
         for name, cls, timeout, _, note in PROBES:
