@@ -268,7 +268,12 @@ class Net:
                                           (interp or
                                            runs_usable(batch_size))) \
             else []
-        if self._head_runs and head_runs_usable(batch_size):
+        # FFCNN_HEAD_F32 supersedes the head runs in the traced pipeline
+        # (net.py _build_pipeline sets hruns=None) — mirror that here or
+        # the floors model fused-head traffic for regions that never run.
+        head_f32 = (self.mode != "parity"
+                    and get_flag("FFCNN_HEAD_F32", "0") == "1")
+        if self._head_runs and head_runs_usable(batch_size) and not head_f32:
             runs += list(self._head_runs)   # same start/end traffic shape
         store = get_flag("FFCNN_FUSED_STORE", "")
         # run_blocks_cs implements only the 'f32' boundary-storage
@@ -294,10 +299,16 @@ class Net:
             net_w, net_h = self.ir.blobs[0].w, self.ir.blobs[0].h
             batch = np.zeros((8, net_h, net_w, 3), np.uint8)
         batch = jnp.asarray(batch)
+        from .tuning import get_flag
         runs = []
         if self._fused_runs and runs_usable(batch.shape[0]):
             runs += [(r.start, r.end) for r in self._fused_runs]
-        if self._head_runs and head_runs_usable(batch.shape[0]):
+        # mirror _build_pipeline: FFCNN_HEAD_F32 supersedes the head runs,
+        # so their rows must not be labeled as fused regions here.
+        head_f32 = (self.mode != "parity"
+                    and get_flag("FFCNN_HEAD_F32", "0") == "1")
+        if self._head_runs and head_runs_usable(batch.shape[0]) \
+                and not head_f32:
             runs += [(r.start, r.end) for r in self._head_runs]
         rep = _pl(lambda: self.detect_device(batch), self.ir, iters,
                   runs=runs or None)
@@ -335,17 +346,22 @@ class Net:
         # accuracy/perf sweet spot on the XLA path).
         from .tuning import get_flag
         min_channels = int(get_flag("FFCNN_INT8_MINC", str(min_channels)))
-        # FFCNN_INT8_PCT: activation-range percentile clip (e.g. 99.9);
-        # empty/unset = exact absmax (quant.collect_blob_absmax).
-        if percentile is None:
-            pct = get_flag("FFCNN_INT8_PCT", "")
-            percentile = float(pct) if pct else None
         # FFCNN_INT8_PERCH=1: per-channel activation scales (quant.py) —
         # the accuracy lever the r4 attribution sweep pointed at (the
         # per-tensor absmax wastes codes on small-range channels).
         per_channel = get_flag("FFCNN_INT8_PERCH", "0") == "1"
-        if per_channel:
-            percentile = None    # percentile clip is per-tensor only
+        if per_channel and percentile is not None:
+            # keep the contract quant.collect_blob_absmax enforces — an
+            # explicitly requested clip must not be silently ignored
+            raise ValueError("percentile clip is per-tensor only "
+                             "(incompatible with FFCNN_INT8_PERCH=1)")
+        # FFCNN_INT8_PCT: activation-range percentile clip (e.g. 99.9);
+        # empty/unset = exact absmax (quant.collect_blob_absmax).  When
+        # BOTH env knobs are set (flag sweeps), per-channel wins and the
+        # env percentile is dropped — only an explicit argument raises.
+        if percentile is None and not per_channel:
+            pct = get_flag("FFCNN_INT8_PCT", "")
+            percentile = float(pct) if pct else None
         # Fused Pallas runs compose cleanly with the plan: run boundary
         # blobs keep their planned storage (the graph builder requantizes
         # the run output), and the runs' interior blobs simply never

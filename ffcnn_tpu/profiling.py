@@ -149,8 +149,11 @@ def trace_occupancy(trace_dir: str) -> Dict[str, float]:
         else:
             cur_e = max(cur_e, t)
     busy += cur_e - cur_s
-    span = iv[-1][1] - iv[0][0]
-    span = max(span, busy)
+    # Span must end at the LATEST end, not the end of the last-starting
+    # interval: with an overlapping long op (async DMA, a second device
+    # track) iv[-1][1] can precede an earlier op's end, inflating
+    # occupancy (worst case to a clamped 1.0).
+    span = max(e for _, e in iv) - iv[0][0]
     return {"busy_ms": round(busy / 1e3, 3), "span_ms": round(span / 1e3, 3),
             "occupancy": round(busy / span, 4) if span else 0.0}
 

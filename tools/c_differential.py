@@ -683,6 +683,12 @@ def main(argv=None) -> int:
 
     if args.platform == "cpu":
         force_cpu_backend()
+    else:
+        # degraded-tunnel resilience: a family that compiled once (zoo
+        # retries, repeated drift runs) must not pay the 40-140 s+ AOT
+        # compile again in the next process
+        from ffcnn_tpu import enable_compile_cache
+        enable_compile_cache()
     corpus = generate_corpus(os.path.join(args.work_dir, "corpus"),
                              args.images, tier=args.tier)
     n = sum(len(v) for v in corpus.values())
