@@ -233,6 +233,15 @@ class MicroBatcher:
         self._fail_all(RuntimeError("batcher closed"))
 
 
+def parse_geometry(geo: str) -> tuple:
+    """``"WxH"`` (the CLI convention, e.g. 640x480) -> ``(h, w)`` (the
+    internal image-array convention used by warmup/probe sizes)."""
+    w, h = map(int, geo.lower().split("x"))
+    if w <= 0 or h <= 0:
+        raise ValueError(geo)
+    return (h, w)
+
+
 class DetectorService:
     # Largest request body accepted by POST /detect: a 24-bit BMP at
     # 2048x2048 is ~12 MB; anything bigger is rejected before the body is
@@ -240,7 +249,7 @@ class DetectorService:
     MAX_BODY_BYTES = 16 << 20
 
     def __init__(self, net, probe_hw=None, max_batch: int = 64,
-                 max_pending: int = 512, warm_batches=None):
+                 max_pending: int = 512, warm_batches=None, warm_hw=()):
         self.net = net
         self._ready = False
         self._error: str | None = None
@@ -263,16 +272,26 @@ class DetectorService:
                 warm_batches.append(b)
                 b *= 2
         self._warm_batches = tuple(warm_batches)
+        # Extra (h, w) request geometries to pre-warm alongside probe_hw.
+        # Each distinct request image size is its own pipeline bucket, so a
+        # worker that will see e.g. 480x640 camera frames should warm that
+        # geometry up front: measured on the v5e tunnel, a cold
+        # geometry x batch bucket hit mid-traffic costs a full-graph
+        # compile (p99 21 s at 32 clients in the r4 loadtest) vs ~0.6 s
+        # warm (docs/PERF_NOTES.md "Serving loadtest").
+        self._warm_hw = tuple(dict.fromkeys(
+            (self._probe_hw,) + tuple(warm_hw)))
 
     def warmup(self):
-        """Compile + run probes at every dispatchable batch bucket so
-        /healthz reflects real readiness.  A warmup failure is captured and
+        """Compile + run probes at every dispatchable batch bucket (and
+        every requested warm geometry) so /healthz reflects real
+        readiness.  A warmup failure is captured and
         surfaced through /healthz rather than dying silently in the
         background thread."""
         if self._ready:
             return
         try:
-            self.net.warmup(image_sizes=[self._probe_hw],
+            self.net.warmup(image_sizes=list(self._warm_hw),
                             batch_sizes=self._warm_batches)
             self._ready = True
         except Exception as e:  # noqa: BLE001 — report via health check
@@ -416,12 +435,27 @@ def main(argv=None) -> int:
                          "batch is sharded over the data-axis mesh and "
                          "every chip runs the single-chip pipeline on its "
                          "shard (parallel/dp.py::DPNet)")
+    ap.add_argument("--warm-hw", nargs="*", default=(), metavar="WxH",
+                    help="extra request geometries to pre-warm (e.g. "
+                         "640x480 for camera frames) — each distinct "
+                         "request image size compiles its own pipeline "
+                         "bucket; warming it here moves that compile "
+                         "before /healthz goes green instead of into the "
+                         "first unlucky client's latency")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--cache-dir", default=None)
     args = ap.parse_args(argv)
+    try:
+        warm_hw = tuple(parse_geometry(g) for g in args.warm_hw)
+    except ValueError:
+        ap.error(f"--warm-hw wants WxH integers, got {args.warm_hw}")
 
     if args.artifact:
+        if warm_hw:
+            ap.error("--warm-hw only applies to cfg/weights workers; "
+                     "artifact workers have fixed input shapes (re-export "
+                     "at the wanted geometry instead)")
         from .export import ArtifactNet
         net = ArtifactNet(args.artifact)
         service = DetectorService(net, max_batch=net.max_batch)
@@ -452,7 +486,7 @@ def main(argv=None) -> int:
     if args.dp:
         from .parallel import DPNet
         net = DPNet(net)
-    service = DetectorService(net)
+    service = DetectorService(net, warm_hw=warm_hw)
     server = make_server(service, args.host, args.port)
     threading.Thread(target=service.warmup, daemon=True).start()
     print(f"serving on http://{args.host}:{server.server_address[1]}")

@@ -424,3 +424,30 @@ def test_statz_endpoint(server, tmp_path):
     # every dispatch lands in a power-of-two bucket of the histogram
     assert sum(stats["batch_hist"].values()) == stats["dispatches"]
     assert all(int(k) & (int(k) - 1) == 0 for k in stats["batch_hist"])
+
+
+def test_warm_hw_prewarms_request_geometry():
+    """--warm-hw contract: a geometry passed at construction is compiled
+    during warmup, so the first real request at that size hits a warm
+    pipeline bucket (no new compile).  Measured motivation: a cold
+    geometry x batch bucket mid-traffic cost p99 21 s in the r4 device
+    loadtest vs ~0.6 s warm (docs/PERF_NOTES.md "Serving loadtest")."""
+    from ffcnn_tpu.serve import parse_geometry
+    assert parse_geometry("640x480") == (480, 640)
+    with pytest.raises(ValueError):
+        parse_geometry("0x32")
+
+    ir = parse_cfg(MICRO)
+    params, _ = load_weights(ir, synth_weights_bytes(ir, seed=7))
+    net = Net(ir, params, mode="parity")
+    service = DetectorService(net, warm_hw=(parse_geometry("64x48"),),
+                              warm_batches=(1,))
+    service.warmup()
+    n_buckets = len(net._pipelines)
+    # batch-1 request at the pre-warmed geometry: no new pipeline bucket
+    dets = net.detect(np.zeros((48, 64, 3), np.uint8))
+    assert isinstance(dets, list)
+    assert len(net._pipelines) == n_buckets
+    # a geometry that was NOT warmed does compile a fresh bucket
+    net.detect(np.zeros((32, 32, 3), np.uint8))
+    assert len(net._pipelines) == n_buckets + 1
