@@ -74,14 +74,27 @@ def make_variant_kernel(mode, rows, width, n, e):
         h = pl.program_id(0)
         nh = pl.num_programs(0)
         S = W * N
-        src = [xt[0].astype(jnp.float32)] \
-            + [xc[r].astype(jnp.float32) for r in range(R)] \
-            + [xb[0].astype(jnp.float32)]
+        # bf16-tap probe modes keep the loaded rows in their storage dtype
+        # (bf16 by default) so the tap stage's Mosaic-managed VMEM
+        # spill/reload traffic is 16-bit; everything else lifts to f32 at
+        # the door like the production kernel (_make_kernel).
+        keep_raw = mode in ("dwmixed", "dwbf16", "fullbf16")
+        lift = (lambda a: a) if keep_raw \
+            else (lambda a: a.astype(jnp.float32))
+        src = [lift(xt[0])] + [lift(xc[r]) for r in range(R)] \
+            + [lift(xb[0])]
         if mode == "copy":
             o_ref[...] = jnp.stack(src[1:R + 1]).astype(o_ref.dtype)
             return
-        if mode == "dwonly":
-            # taps on the raw rows (E=C): isolates tap arithmetic
+        if mode in ("dwonly", "dwmixed", "dwbf16"):
+            # taps on the raw rows (E=C): isolates tap arithmetic.
+            #   dwonly   f32 rows x f32 per-channel broadcast (production)
+            #   dwmixed  bf16 rows x f32 broadcast -> f32 FMA (promotion):
+            #            halves the row traffic, same ALU
+            #   dwbf16   bf16 rows x bf16 broadcast -> bf16 FMA: probes
+            #            both 16-bit VPU rate AND the Mosaic minor-dim
+            #            broadcast 32-bit-only limit
+            c_here = src[0].shape[0]
             h1 = []
             for idx, a in enumerate(src):
                 if idx == 0:
@@ -91,29 +104,41 @@ def make_variant_kernel(mode, rows, width, n, e):
                 h1.append(jnp.pad(a, ((0, 0), (N, N))))
             outs = []
             for r in range(R):
-                acc = jnp.zeros_like(src[0])
+                acc = jnp.zeros(
+                    (c_here, S),
+                    jnp.bfloat16 if mode == "dwbf16" else jnp.float32)
                 for dy in range(3):
                     for dx in range(3):
-                        acc = acc + (h1[r + dy][:, dx * N: dx * N + S]
-                                     * kdw[dy, dx][: src[0].shape[0], None])
+                        k = kdw[dy, dx][:c_here, None]
+                        if mode == "dwbf16":
+                            k = k.astype(jnp.bfloat16)
+                        acc = acc + (h1[r + dy][:, dx * N: dx * N + S] * k)
                 outs.append(activate(acc, LEAKY))
             o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
             return
-        # pw-expand on every row (pwonly skips the taps; full applies them)
+        # pw-expand on every row (pwonly skips the taps; full applies them).
+        # fullbf16: bf16 dot operands (f32 accumulation preserved via
+        # preferred_element_type) + bf16 expand rows through the tap stage
+        # (mixed bf16 x f32-broadcast FMA) — the whole-block version of
+        # dwmixed's traffic halving.
+        bf = mode == "fullbf16"
+        w1k = w1[...].astype(jnp.bfloat16) if bf else w1[...]
         rows_ = [activate(lax.dot_general(
-                     w1[...], xr, (((1,), (0,)), ((), ())),
+                     w1k, xr, (((1,), (0,)), ((), ())),
                      preferred_element_type=jnp.float32) * s1[...]
                      + b1[...], LEAKY)
                  for xr in src]
         if mode == "pwonly":
             mids = rows_[1:R + 1]
-        else:                                   # full
+        else:                                   # full / fullbf16
             h1 = []
             for idx, a in enumerate(rows_):
                 if idx == 0:
                     a = jnp.where(h == 0, 0.0, a)
                 if idx == R + 1:
                     a = jnp.where(h == nh - 1, 0.0, a)
+                if bf:
+                    a = a.astype(jnp.bfloat16)
                 h1.append(jnp.pad(a, ((0, 0), (N, N))))
             mids = []
             for r in range(R):
@@ -123,13 +148,15 @@ def make_variant_kernel(mode, rows, width, n, e):
                         acc = acc + (h1[r + dy][:, dx * N: dx * N + S]
                                      * kdw[dy, dx][:, None])
                 mids.append(activate(acc * s2[...] + b2[...], LEAKY))
+        w2k = w2[...].astype(jnp.bfloat16) if bf else w2[...]
         outs = []
         for r in range(R):
-            y = lax.dot_general(w2[...], mids[r], (((1,), (0,)), ((), ())),
+            m = mids[r].astype(jnp.bfloat16) if bf else mids[r]
+            y = lax.dot_general(w2k, m, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             y = activate(y * s3[...] + b3[...], LINEAR)
-            y = activate(y + src[r + 1], LINEAR)       # residual keeps P=C
-            outs.append(y)
+            y = activate(y + src[r + 1].astype(jnp.float32), LINEAR)
+            outs.append(y)                             # residual keeps P=C
         o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
 
     return kern
@@ -138,7 +165,8 @@ def make_variant_kernel(mode, rows, width, n, e):
 def variant_step(mode, hh, width, n, c, e, params9, dtype):
     """(H, C, W*N) -> (H, C, W*N) single block step for chaining."""
     s = width * n
-    r = _pick_rows(hh, e if mode not in ("copy", "dwonly") else c, s)
+    r = _pick_rows(hh, c if mode in ("copy", "dwonly", "dwmixed", "dwbf16")
+                   else e, s)
     kern = make_variant_kernel(mode, r, width, n, e)
     top = pl.BlockSpec((1, c, s),
                        lambda i: (jnp.maximum(i * r - 1, 0), 0, 0),
@@ -172,6 +200,9 @@ def main(argv=None) -> int:
                     help="fori_loop chain length inside one dispatch")
     ap.add_argument("--store", choices=("bf16", "f32"), default="bf16")
     ap.add_argument("--geoms", nargs="*", default=None)
+    ap.add_argument("--modes", nargs="*", default=None,
+                    help="subset of copy dwonly dwmixed dwbf16 pwonly "
+                         "full fullbf16 (default: all)")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
 
@@ -204,7 +235,8 @@ def main(argv=None) -> int:
               f"(stream {dense_mb:.0f} MB dense / {padded_mb:.0f} MB tiled)",
               flush=True)
 
-        for mode in ("copy", "dwonly", "pwonly", "full"):
+        for mode in (args.modes or ("copy", "dwonly", "dwmixed", "dwbf16",
+                                    "pwonly", "full", "fullbf16")):
             step = variant_step(mode, hh, width, n, c, e, params9, dtype)
             chained = jax.jit(lambda x, step=step: lax.fori_loop(
                 0, args.iters, lambda i, v: step(v), x))
