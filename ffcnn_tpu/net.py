@@ -58,7 +58,7 @@ _TRACE_ENV_FLAGS = ("FFCNN_FUSED", "FFCNN_FUSED_HEADS", "FFCNN_FUSED_MEGA",
                     "FFCNN_CONV0_PALLAS", "FFCNN_PLANAR_HEADS",
                     "FFCNN_HEAD_F32",
                     "FFCNN_TOPK_IMPL", "FFCNN_DECODE_IMPL",
-                    "FFCNN_NMS_IMPL")
+                    "FFCNN_ARGMAX", "FFCNN_NMS_IMPL")
 
 
 def _planarize_heads(ir: NetIR, params: Dict, quant):

@@ -23,8 +23,35 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..darknet.ir import Layer
+
+
+def _argmax_max_packed(x):
+    """Single-reduction (first-max argmax, max): pack each bf16 score and
+    its inverted lane index into one uint32 key whose unsigned order equals
+    (value, first-index) order, take ONE ``jnp.max``, unpack.  The value
+    half uses the classic sign-magnitude -> total-order map (negative
+    floats reverse), so raw (possibly negative) logits order correctly;
+    ties hit equal value halves and the ``K-1-idx`` low half then picks the
+    SMALLEST index — the reference's strictly-greater ``cs < val`` scan
+    (ffcnn.c:447-450).  Exact bf16 value recovery (bit round-trip).
+    Caveat vs the variadic form: -0.0 ranks just below +0.0 instead of
+    tying (irrelevant for conv scores at the gates' tolerance), and NaN
+    keys rank by payload rather than poisoning the max (heads are NaN-free
+    by the debug-nans invariant)."""
+    k = x.shape[-1]
+    b = lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.uint32)
+    t = jnp.where(b >= 0x8000, jnp.uint32(0xFFFF) - b, b + jnp.uint32(0x8000))
+    idx = jnp.arange(k, dtype=jnp.uint32)
+    best = jnp.max((t << 16) | (jnp.uint32(k - 1) - idx), axis=-1)
+    cidx = (jnp.uint32(k - 1) - (best & jnp.uint32(0xFFFF)))
+    vb = best >> 16
+    vb = jnp.where(vb >= 0x8000, vb - jnp.uint32(0x8000),
+                   jnp.uint32(0xFFFF) - vb).astype(jnp.uint16)
+    val = lax.bitcast_convert_type(vb, jnp.bfloat16)
+    return cidx.astype(jnp.float32), val.astype(jnp.float32)
 
 
 def _argmax_max(x):
@@ -33,10 +60,18 @@ def _argmax_max(x):
     tie-break matches the reference's ``cs < val`` scan, ffcnn.c:447-450).
 
     NOTE(axon): faster single-reduction formulations (packed uint32 keys via
-    bitcast, and max → min-index-where-equal) compile but WEDGE this image's
-    TPU executor — any fusion combining a last-axis reduce with bit ops or a
-    broadcast of another reduce's result livelocks the chip until the tunnel
-    resets.  Keep the plain variadic argmax until the backend is fixed."""
+    bitcast, and max → min-index-where-equal) used to WEDGE this image's
+    TPU executor — any fusion combining a last-axis reduce with bit ops or
+    a broadcast of another reduce's result livelocked the chip until the
+    tunnel reset.  The 2026-08-19 toolchain FIXED both reproducers
+    (tools/retest_backend_bugs.py --include-wedges), so the packed form is
+    available again as ``FFCNN_ARGMAX=packed`` (bf16 heads only — parity's
+    f32 heads keep the variadic reduce; measured A/B in
+    docs/PERF_NOTES.md "packed argmax retry")."""
+    from ..tuning import get_flag
+    if (get_flag("FFCNN_ARGMAX", "variadic") == "packed"
+            and x.dtype == jnp.bfloat16 and x.shape[-1] <= 0x8000):
+        return _argmax_max_packed(x)
     return (jnp.argmax(x, axis=-1).astype(jnp.float32),
             jnp.max(x, axis=-1).astype(jnp.float32))
 

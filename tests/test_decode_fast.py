@@ -244,3 +244,54 @@ def test_head_f32_mechanism_and_golden(ref_cfg, ref_weights, monkeypatch):
         assert d.class_id == cat
         assert all(abs(g - v) <= 2 for g, v in
                    zip(rect, (d.x1, d.y1, d.x2, d.y2)))
+
+
+def test_argmax_max_packed_bit_identical(monkeypatch):
+    """FFCNN_ARGMAX=packed (single uint32-key reduction — reopened after
+    the 2026-08-19 toolchain fixed the reduce+bitcast fusion livelock)
+    must reproduce the variadic form exactly on bf16 heads: same first-max
+    tie-breaking, exact bf16 value recovery, negatives ordered correctly.
+    f32 inputs (parity mode) must fall back to the variadic reduce."""
+    from ffcnn_tpu.ops.yolo import _argmax_max, _argmax_max_packed
+
+    rng = np.random.RandomState(3)
+    x = np.round(rng.randn(1000, 80) * 4) / 4       # heavy ties
+    x[0] = -1.0                                      # all-equal negative row
+    x[1] = 0.0                                       # all-zero row
+    x[2, 40:] = x[2].max() + 1.0                     # tie in the tail
+    xb = jnp.asarray(x, jnp.bfloat16)
+    ci0, cs0 = jax.jit(_argmax_max)(xb)              # default: variadic
+    ci1, cs1 = jax.jit(_argmax_max_packed)(xb)
+    np.testing.assert_array_equal(np.asarray(ci0), np.asarray(ci1))
+    np.testing.assert_array_equal(np.asarray(cs0), np.asarray(cs1))
+
+    # flag plumbing: packed engages for bf16, never for f32
+    monkeypatch.setenv("FFCNN_ARGMAX", "packed")
+    ci2, cs2 = jax.jit(_argmax_max)(xb)
+    np.testing.assert_array_equal(np.asarray(ci0), np.asarray(ci2))
+    np.testing.assert_array_equal(np.asarray(cs0), np.asarray(cs2))
+    xf = jnp.asarray(x, jnp.float32)
+    ci3, cs3 = jax.jit(_argmax_max)(xf)
+    np.testing.assert_array_equal(np.asarray(ci3), np.argmax(x, -1))
+
+
+def test_decode_packed_argmax_bit_identical(monkeypatch):
+    """Whole-head decode with FFCNN_ARGMAX=packed is bit-identical to the
+    default for every output field."""
+    from ffcnn_tpu.darknet.ir import Layer, LayerType
+    from ffcnn_tpu.ops.yolo import decode_head
+
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(
+        np.round(rng.randn(4, 6, 5, 255) * 2) / 2, jnp.bfloat16)
+    lay = Layer(index=0, type=LayerType.YOLO, class_num=80,
+                ignore_thres=0.45,
+                anchors=((115, 73), (119, 199), (242, 238)), scale_x_y=1.05)
+    outs = {}
+    for impl in ("variadic", "packed"):
+        monkeypatch.setenv("FFCNN_ARGMAX", impl)
+        outs[impl] = decode_head(feat, lay, 320, 320)
+    for a, b, nm in zip(outs["variadic"], outs["packed"],
+                        ("boxes", "scores", "classes")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
