@@ -312,8 +312,14 @@ class Net:
             runs += [(r.start, r.end) for r in self._head_runs]
         rep = _pl(lambda: self.detect_device(batch), self.ir, iters,
                   runs=runs or None)
-        rep.floors_us = {c.index: c.floor_us()
-                         for c in self.roofline_costs(batch.shape[0])}
+        costs = self.roofline_costs(batch.shape[0])
+        rep.floors_us = {c.index: c.floor_us() for c in costs}
+        # A fused region's measured time all lands on its start-layer row;
+        # give that row the REGION floor (max of summed HBM/MXU/VPU
+        # demands, roofline.region_floor_us) so its "x floor" is honest.
+        from .roofline import region_floor_us
+        for s, e in runs:
+            rep.floors_us[s] = region_floor_us(costs, s, e)
         return rep
 
     # ------------------------------------------------------------- pipelines

@@ -220,6 +220,23 @@ def layer_costs(ir: NetIR, batch: int, dtype: str = "bf16",
     return out
 
 
+def region_floor_us(costs: List[LayerCost], start: int, end: int,
+                    gbps: float = HBM_GBPS_EFFECTIVE,
+                    tflops: float = MXU_TFLOPS_BF16,
+                    vpu_tflops: float = VPU_TFLOPS_BF16) -> float:
+    """Floor for a fused region [start, end]: the region runs as ONE
+    program, so its bound is max over resources of the SUMMED demand —
+    not the start layer's floor alone (the profiler attributes the whole
+    region's device time to its start-layer scope; pairing that with a
+    single-layer floor overstated "x floor" ~50x, docs/ONCHIP_R4.md), and
+    not the sum of per-layer max-floors either (layers may overlap
+    resources inside one program)."""
+    span = [c for c in costs if start <= c.index <= end]
+    return max(sum(c.bytes_total for c in span) / gbps / 1e3,
+               sum(c.flops for c in span) / tflops / 1e6,
+               sum(c.vpu_flops for c in span) / vpu_tflops / 1e6)
+
+
 def _stage_of(ir: NetIR, li: int) -> Tuple[int, int]:
     """Resolution stage of layer ``li`` = its input blob's spatial dims;
     a layer sitting right after a YOLO layer reads a zero-dim alias blob

@@ -101,6 +101,29 @@ def test_stage_and_render(ir):
     assert "x floor" in text2
 
 
+def test_region_floor_aggregates(ir):
+    """A fused region's floor is the max of its SUMMED per-resource
+    demands — strictly above the start layer's own floor (whose pairing
+    with region-total measured time overstated 'x floor' ~50x in the r4
+    on-chip profiles) and at least every resource's summed bound."""
+    from ffcnn_tpu.kernels.block_fused import plan_runs
+    runs = plan_runs(ir)
+    costs = roofline.layer_costs(ir, 256, fused_runs=runs)
+    s, e = runs[0].start, runs[0].end
+    rf = roofline.region_floor_us(costs, s, e)
+    assert rf > costs[s].floor_us()
+    span = [c for c in costs if s <= c.index <= e]
+    for demand, rate in ((sum(c.bytes_total for c in span),
+                          roofline.HBM_GBPS_EFFECTIVE * 1e3),
+                         (sum(c.flops for c in span),
+                          roofline.MXU_TFLOPS_BF16 * 1e6),
+                         (sum(c.vpu_flops for c in span),
+                          roofline.VPU_TFLOPS_BF16 * 1e6)):
+        assert rf >= demand / rate - 1e-9
+    # single-layer "region" degenerates to that layer's dominant bound
+    assert roofline.region_floor_us(costs, s, s) <= costs[s].floor_us() + 1e-9
+
+
 def test_net_profile_attaches_floors():
     from ffcnn_tpu import Net
     from ffcnn_tpu.darknet.weights import load_weights, synth_weights_bytes
