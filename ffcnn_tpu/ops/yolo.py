@@ -37,12 +37,13 @@ def _argmax_max_packed(x):
     ties hit equal value halves and the ``K-1-idx`` low half then picks the
     SMALLEST index — the reference's strictly-greater ``cs < val`` scan
     (ffcnn.c:447-450).  Exact bf16 value recovery (bit round-trip).
-    Caveat vs the variadic form: -0.0 ranks just below +0.0 instead of
-    tying (irrelevant for conv scores at the gates' tolerance), and NaN
-    keys rank by payload rather than poisoning the max (heads are NaN-free
-    by the debug-nans invariant)."""
+    -0.0 keys are canonicalized to +0.0 so exact ±0.0 ties break by index
+    like the variadic reduce (ADVICE r4).  Remaining caveat: NaN keys rank
+    by payload rather than poisoning the max (heads are NaN-free by the
+    debug-nans invariant)."""
     k = x.shape[-1]
     b = lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.uint32)
+    b = jnp.where(b == jnp.uint32(0x8000), jnp.uint32(0), b)   # -0.0 -> +0.0
     t = jnp.where(b >= 0x8000, jnp.uint32(0xFFFF) - b, b + jnp.uint32(0x8000))
     idx = jnp.arange(k, dtype=jnp.uint32)
     best = jnp.max((t << 16) | (jnp.uint32(k - 1) - idx), axis=-1)

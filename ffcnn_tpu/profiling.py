@@ -93,14 +93,23 @@ def _layer_desc(ir: NetIR, li: int) -> str:
     return "%s ->%dx%dx%d" % (LAYER_TYPE_NAMES[layer.type], ob.w, ob.h, ob.c)
 
 
-def _parse_trace(trace_dir: str, iters: int) -> Tuple[Dict[int, float], float]:
+def _load_trace_events(trace_dir: str):
+    """All traceEvents across every shard the profiler emitted.  JAX can
+    write multiple *.trace.json.gz files per session (one per host/plugin);
+    reading only the first silently under-counts device time (ADVICE r4)."""
     paths = glob.glob(os.path.join(trace_dir,
                                    "plugins/profile/*/*.trace.json.gz"))
     if not paths:
         raise RuntimeError("profiler produced no trace")
-    with gzip.open(paths[0]) as f:
-        data = json.load(f)
-    ev = data["traceEvents"]
+    ev = []
+    for p in sorted(paths):
+        with gzip.open(p) as f:
+            ev.extend(json.load(f)["traceEvents"])
+    return ev
+
+
+def _parse_trace(trace_dir: str, iters: int) -> Tuple[Dict[int, float], float]:
+    ev = _load_trace_events(trace_dir)
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = {p for p, n in pids.items()
@@ -125,13 +134,7 @@ def trace_occupancy(trace_dir: str) -> Dict[str, float]:
     overlap metric behind ``tools/bench_stream.py`` (VERDICT r3 #5: does
     a depth-2 ``detect_stream`` actually keep the chip busier than the
     serial loop?).  Returns ``{busy_ms, span_ms, occupancy}``."""
-    paths = glob.glob(os.path.join(trace_dir,
-                                   "plugins/profile/*/*.trace.json.gz"))
-    if not paths:
-        raise RuntimeError("profiler produced no trace")
-    with gzip.open(paths[0]) as f:
-        data = json.load(f)
-    ev = data["traceEvents"]
+    ev = _load_trace_events(trace_dir)
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = {p for p, n in pids.items()

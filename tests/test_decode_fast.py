@@ -259,6 +259,9 @@ def test_argmax_max_packed_bit_identical(monkeypatch):
     x[0] = -1.0                                      # all-equal negative row
     x[1] = 0.0                                       # all-zero row
     x[2, 40:] = x[2].max() + 1.0                     # tie in the tail
+    x[3] = -50.0                                     # make ±0.0 the row max:
+    x[3, 10] = -0.0                                  # -0.0 before +0.0 must
+    x[3, 20] = +0.0                                  # tie by index (ADVICE r4)
     xb = jnp.asarray(x, jnp.bfloat16)
     ci0, cs0 = jax.jit(_argmax_max)(xb)              # default: variadic
     ci1, cs1 = jax.jit(_argmax_max_packed)(xb)

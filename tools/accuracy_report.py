@@ -105,13 +105,20 @@ def weighted_map(ap_by_class, per_class):
 def collect_gt(corpus, binary, work_dir):
     """Run the C oracle once per image; returns {path: [box lines]}.
 
-    Disk-cached by (binary variant dir, bmp content sha1) in
-    ``work_dir`` — the corpus is deterministic, the C binary is the
-    pinned oracle, so GT never needs recomputing across modes, calib
-    schemes, or sessions (conv-v0 at 640x448 is the slow leg here)."""
+    Disk-cached by (binary variant dir, cfg+weights content hash, bmp
+    content sha1) in ``work_dir`` — the corpus is deterministic and the C
+    binary is the pinned oracle, so GT never needs recomputing across
+    modes, calib schemes, or sessions (conv-v0 at 640x448 is the slow leg
+    here).  The model hash in the filename keeps a future CFG/WEIGHTS
+    change from silently serving stale ground truth (ADVICE r4)."""
     import hashlib
     variant = os.path.basename(os.path.dirname(binary))
-    cache_path = os.path.join(work_dir, f"gt_{variant}.json")
+    mh = hashlib.sha1()
+    for path in (CFG, WEIGHTS):
+        with open(path, "rb") as f:
+            mh.update(f.read())
+    cache_path = os.path.join(work_dir,
+                              f"gt_{variant}_{mh.hexdigest()[:10]}.json")
     cache = {}
     if os.path.exists(cache_path):
         try:
