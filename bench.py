@@ -9,7 +9,17 @@ Protocol:
      device-resident uint8 input, full pixels-to-boxes pipeline (letterbox +
      131-layer forward + YOLO decode + NMS).  Timed as N dispatches with one
      trailing sync so the ~30 ms axon-tunnel RTT isn't billed per batch;
-     batch size swept and the best img/s reported.
+     batch size swept, then the MEDIAN of >=5 timed windows at the best
+     batch is the headline, with the per-window values and spread in the
+     JSON (VERDICT r4 #1: single windows swing ~4% tunnel-to-tunnel; the
+     reference's own published number is a 100-iteration average,
+     readme.txt:114-126).
+  3. The headline mode is pinned to fast — the deployable mode (parity
+     meets the 1e-3 accuracy bar; fast holds wide-corpus wmAP@0.5 0.961;
+     int8 was demoted on the wide corpus, docs/PERF_NOTES.md).  int8 and
+     parity throughputs are reported as their own rows: parity_img_s is
+     the configuration that satisfies BOTH halves of the north star
+     (>=10k img/s AND detections matching the C output within 1e-3).
 
 Baseline: the C reference (conv-v6 build, this container's CPU) measured at
 320x320: 847 ms / 20 inferences = 23.6 img/s (see BASELINE.md; the published
@@ -120,7 +130,29 @@ def int8_gate():
     return net
 
 
-def throughput(mode="fast", net=None):
+def _timed_windows(net, bj, n_windows, iters=None):
+    """img/s of ``n_windows`` independent timing windows (each: ITERS
+    dispatches + one trailing sync) over an already-compiled bucket."""
+    import jax
+    iters = iters or ITERS
+    b = bj.shape[0]
+    out = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = net.detect_device(bj)
+        jax.block_until_ready(res)
+        out.append(b / ((time.perf_counter() - t0) / iters))
+    return out
+
+
+def throughput(mode="fast", net=None, batches=None, final_windows=5):
+    """Batch sweep (best-of-3 windows per size picks the batch), then
+    ``final_windows`` more windows at the winning batch.  Returns
+    (median img/s, batch, net, window list) — median, not best: the
+    VERDICT r4 variance protocol."""
+    import statistics
+
     import jax
     import numpy as np
     from ffcnn_tpu import Net
@@ -130,30 +162,29 @@ def throughput(mode="fast", net=None):
 
     if net is None:
         net = Net.load(CFG, WEIGHTS, mode=mode)
-    best = (0.0, 0)
+    best = (0.0, 0, None)
     # Real image content (the reference's own benchmark loops test.bmp,
     # readme.txt:114): random-noise frames decode to hundreds of spurious
     # above-threshold boxes per image, which is not a detection workload.
     # Per-image noise keeps frames distinct.
     img = bmp_load(os.path.join(FIXTURES, "test320.bmp"))
-    for bi, b in enumerate(BATCHES):
+    for bi, b in enumerate(batches or BATCHES):
         (batch,) = noisy_batches(img, b, 1, seed=bi)
         bj = jnp.asarray(batch)                 # one-time host->HBM transfer
         res = net.detect_device(bj)             # compile
         jax.block_until_ready(res)
-        dt = float("inf")
-        for _ in range(3):                      # best-of-3 vs tunnel noise
-            t0 = time.perf_counter()
-            for _ in range(ITERS):
-                res = net.detect_device(bj)
-            jax.block_until_ready(res)
-            dt = min(dt, (time.perf_counter() - t0) / ITERS)
-        ips = b / dt
-        log("%s batch %4d: %7.2f ms/batch  %8.0f img/s"
-            % (mode, b, dt * 1000, ips))
+        ips = max(_timed_windows(net, bj, 3))   # best-of-3 picks the batch
+        log("%s batch %4d: %8.0f img/s (batch-pick window)" % (mode, b, ips))
         if ips > best[0]:
-            best = (ips, b)
-    return best + (net,)
+            best = (ips, b, bj)
+    _, b, bj = best
+    windows = sorted(_timed_windows(net, bj, final_windows))
+    med = statistics.median(windows)
+    log("%s batch %4d: median %8.0f img/s over %d windows "
+        "(min %8.0f  max %8.0f  spread %.1f%%)"
+        % (mode, b, med, len(windows), windows[0], windows[-1],
+           (windows[-1] - windows[0]) / med * 100))
+    return med, b, net, windows
 
 
 def throughput_stream(net):
@@ -329,8 +360,22 @@ def main():
     enable_compile_cache()
     parity_gate()
     int8_net = int8_gate()
-    fast_ips, fast_batch, fast_net = throughput("fast")
-    int8_ips, int8_batch, _ = throughput("int8", net=int8_net)
+    fast_ips, fast_batch, fast_net, fast_windows = throughput("fast")
+    # int8: informational row only — the wide-corpus verdict demoted it
+    # (wmAP@0.5 0.733 vs fast 0.961, docs/PERF_NOTES.md), so it must never
+    # again headline off a ~1% window fluke (VERDICT r4 weak-1).
+    int8_ips, int8_batch, _, _ = throughput("int8", net=int8_net,
+                                            final_windows=3)
+    # parity: the ONLY configuration meeting the full north-star criterion
+    # (>=10k img/s AND C-output match within 1e-3) — measured at one batch
+    # size (f32 activations double the HBM traffic; the bf16 sweep's best
+    # batch is a reasonable operating point, not necessarily its optimum).
+    try:
+        parity_ips, parity_batch, _, parity_windows = throughput(
+            "parity", batches=(256,), final_windows=3)
+    except Exception as e:  # noqa: BLE001 — report 0 rather than lose all
+        log(f"parity throughput failed: {e!r}")
+        parity_ips, parity_batch, parity_windows = 0.0, 0, []
     try:
         stream_ips = throughput_stream(fast_net)
     except Exception as e:  # noqa: BLE001 — auxiliary metric, never fatal
@@ -344,12 +389,10 @@ def main():
     p50, dev_ms = latency_batch1()
     log("batch-1 latency: p50 wall %.2f ms (incl. tunnel RTT), device %.2f ms"
         % (p50, dev_ms))
-    # Headline = the fastest gated mode (int8 is gated on golden objects
-    # exact-class/in-tolerance; fast on the same; parity bit-gated above).
-    if int8_ips > fast_ips:
-        ips, batch, mode = int8_ips, int8_batch, "int8(MXU s8 + f32 epilogue)"
-    else:
-        ips, batch, mode = fast_ips, fast_batch, "fast(bf16+fp32acc)"
+    # Headline = fast, the deployable mode, as the median of its windows.
+    ips, batch = fast_ips, fast_batch
+    spread_pct = ((fast_windows[-1] - fast_windows[0]) / ips * 100
+                  if ips else 0.0)
     import jax
     dev = jax.devices()[0]
     print(json.dumps({
@@ -360,9 +403,20 @@ def main():
         "batch": batch,
         "p50_batch1_ms": round(p50, 2),
         "batch1_device_ms": round(dev_ms, 2),
-        "mode": mode,
-        "fast_img_s": round(fast_ips, 1),
+        "mode": "fast(bf16+fp32acc)",
+        "protocol": "median of %d timed windows (30 dispatches + 1 sync "
+                    "each) at the sweep-winning batch" % len(fast_windows),
+        "fast_img_s": round(ips, 1),   # alias of value (A/B tooling compat)
+        "fast_windows_img_s": [round(v, 1) for v in fast_windows],
+        "fast_window_spread_pct": round(spread_pct, 2),
+        # the 1e-3-accuracy configuration's throughput (f32 + HIGHEST
+        # precision; detections golden-exact per the gate above)
+        "parity_img_s": round(parity_ips, 1),
+        "parity_batch": parity_batch,
+        "parity_windows_img_s": [round(v, 1) for v in parity_windows],
         "int8_img_s": round(int8_ips, 1),
+        "int8_note": "informational only; demoted on the wide corpus "
+                     "(wmAP@0.5 0.733 vs fast 0.961, docs/PERF_NOTES.md)",
         # distinct HOST batches via the pipelined detect_stream path: every
         # batch pays (overlapped) host->HBM transfer + result decode
         "stream_host_input_img_s": round(stream_ips, 1),
