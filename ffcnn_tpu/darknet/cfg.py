@@ -31,7 +31,7 @@ from .ir import (ACTIVATION_NAMES, Activation, BlobShape, Layer, LayerType,
 # for prefix matching at a '[' position.
 _LAYER_SECTIONS = ("[conv]", "[convolutional]", "[avg]", "[avgpool]", "[max]",
                    "[maxpool]", "[upsample]", "[dropout]", "[shortcut]",
-                   "[route]", "[yolo]")
+                   "[route]", "[yolo]", "[yolov8]")   # [yolov8] = extension
 
 
 def _split_csv_ints(val: str, limit: int) -> List[int]:
@@ -149,6 +149,23 @@ def parse_cfg(cfg: str, input_w: int = 0, input_h: int = 0,
                                 route_group_id=rgid))
             blobs.append(BlobShape(w=ow, h=oh, c=oc))
 
+        elif sec.startswith("[yolov8]"):
+            # Extension (BASELINE configs[4]): anchor-free DFL head.  The
+            # input blob is the concat [4*reg_max box logits | class_num
+            # class logits] the converter (ffcnn_tpu/yolov8.py) emits from
+            # the detect module's cv2/cv3 branches.  ``stride`` = head
+            # pixel stride; ``conf`` = score threshold (reuses the
+            # ignore_thres slot; ultralytics default 0.25).
+            class_num = atoi(parse_param(sec, "classes"))
+            reg_max = atoi(parse_param(sec, "reg_max")) or 16
+            stride = atoi(parse_param(sec, "stride")) or 1
+            conf_val = parse_param(sec, "conf")
+            conf = 0.25 if conf_val == "" else atof(conf_val)
+            layers.append(Layer(index=cur, type=LayerType.YOLOV8,
+                                class_num=class_num, reg_max=reg_max,
+                                stride=stride, ignore_thres=conf))
+            blobs.append(BlobShape())   # like [yolo]: no output blob
+
         elif sec.startswith("[yolo]"):
             class_num = atoi(parse_param(sec, "classes"))
             sxy_val = parse_param(sec, "scale_x_y")
@@ -182,7 +199,14 @@ def dump(ir: NetIR) -> str:
         i = l.index
         inp, out = ir.blobs[i], ir.blobs[i + 1]
         tname = LAYER_TYPE_NAMES[l.type]
-        if l.type == LayerType.YOLO:
+        if l.type == LayerType.YOLOV8:
+            # extension layer — no reference format to match; keep the
+            # table's column rhythm
+            lines.append(
+                "%3d %8s class_num: %d reg_max: %d stride: %d conf: %3.2f"
+                % (i, tname, l.class_num, l.reg_max, l.stride,
+                   l.ignore_thres))
+        elif l.type == LayerType.YOLO:
             a = l.anchors
             lines.append(
                 "%3d %8s class_num: %d ignore_thres: %3.2f [%d, %d] [%d, %d] [%d, %d]"

@@ -26,6 +26,12 @@ class LayerType(enum.IntEnum):
     SHORTCUT = 5
     ROUTE = 6
     YOLO = 7
+    # Extension beyond the reference (BASELINE configs[4]): anchor-free
+    # YOLOv8 detect head — DFL box regression (reg_max softmax bins per
+    # side) + per-class sigmoid scores, one prediction per cell.  The
+    # graph body (Conv/C2f/SPPF/neck) lowers to the darknet dialect above
+    # (ffcnn_tpu/yolov8.py); only the head needs a new layer type.
+    YOLOV8 = 8
 
 
 class Activation(enum.IntEnum):
@@ -63,6 +69,7 @@ LAYER_TYPE_NAMES = {
     LayerType.MAXPOOL: "maxpool", LayerType.UPSAMPLE: "upsample",
     LayerType.DROPOUT: "dropout", LayerType.SHORTCUT: "shortcut",
     LayerType.ROUTE: "route", LayerType.YOLO: "yolo",
+    LayerType.YOLOV8: "yolov8",
 }
 
 
@@ -105,6 +112,10 @@ class Layer:
     anchors: Tuple[Tuple[int, int], ...] = ()
     ignore_thres: float = 0.0
     scale_x_y: float = 1.0
+    # yolov8 head params (extension): DFL bin count per box side.  The
+    # head's pixel stride reuses ``stride``; the confidence threshold
+    # reuses ``ignore_thres``.
+    reg_max: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

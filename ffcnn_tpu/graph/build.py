@@ -248,12 +248,19 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
             w, scale, bias = (p["weights"], p["scale"], p["bias"]) \
                 if isinstance(p, dict) else (p.weights, p.scale, p.bias)
             x_in = deq(li, inp)
-            if f32_layers and li in f32_layers:
-                # FFCNN_HEAD_F32: compute this conv (and, since conv2d_fused
-                # emits in its input dtype, everything downstream of it up
-                # to the yolo decode) in f32 — kills the bf16 conf-threshold
-                # knife-edges born in the tiny head chains at ~zero cost.
-                x_in = x_in.astype(jnp.float32)
+            if f32_layers is not None:
+                # In-set convs compute in f32 (conv2d_fused emits in its
+                # input dtype, so their OUTPUT blobs are stored f32 too):
+                #   * FFCNN_HEAD_F32 puts the head chains here — the f32
+                #     propagates through the yolo decode, killing the bf16
+                #     conf-threshold knife-edges at ~zero cost.
+                #   * FFCNN_F32_STAGES puts one spatial stage here (the
+                #     per-stage drift bisection, VERDICT r4 #2).
+                # Out-of-set convs cast back DOWN to the pipeline dtype, so
+                # a forced stage stays stage-LOCAL: the first conv after it
+                # resumes bf16 instead of silently inheriting f32.
+                x_in = x_in.astype(jnp.float32 if li in f32_layers
+                                   else float_dtype)
             y = conv2d_fused(x_in, jnp.asarray(w), jnp.asarray(scale),
                              jnp.asarray(bias), stride=layer.stride,
                              pad=layer.pad, groups=layer.groups,
@@ -273,8 +280,17 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
         if t == LayerType.DROPOUT:
             return inp                     # inference no-op (ffcnn.c:412-416)
         if t == LayerType.SHORTCUT:
-            y = activate(deq(li, inp) + deq(layer.depends[0] + 1),
-                         layer.activation)
+            a, b = deq(li, inp), deq(layer.depends[0] + 1)
+            if f32_layers and li in f32_layers:
+                # in-stage shortcut (FFCNN_F32_STAGES): add in f32 and skip
+                # the float_dtype store-downcast so the residual chain stays
+                # f32 through the whole forced stage
+                a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+                y = activate(a + b, layer.activation)
+                if not is_q(li + 1):
+                    return y
+                return store(li + 1, y)
+            y = activate(a + b, layer.activation)
             return store(li + 1, y)
         if t == LayerType.ROUTE:
             srcs = [d + 1 for d in layer.depends]
@@ -326,7 +342,7 @@ def forward_features(ir: NetIR, params: Dict, x, *, precision=None,
                 out = out[..., layer.route_group_id * gc:
                           (layer.route_group_id + 1) * gc]
             return out
-        if t == LayerType.YOLO:
+        if t in (LayerType.YOLO, LayerType.YOLOV8):
             heads.append(deq(li, inp))
             return None                    # yolo produces no blob (ffcnn.c:489)
         raise ValueError(f"unsupported layer type {t}")

@@ -44,6 +44,7 @@ from .ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
 DEFAULT_MEAN = (0.0, 0.0, 0.0)
 DEFAULT_NORM = (1 / 255.0, 1 / 255.0, 1 / 255.0)
 NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
+V8_NMS_THRESHOLD = 0.7       # YOLOv8 head graphs: public default IoU
 
 # Env flags read at TRACE time (here or in ops/kernels).  Their current
 # RESOLVED values (env > tuned-defaults file > code default; tuning.py)
@@ -56,9 +57,9 @@ _TRACE_ENV_FLAGS = ("FFCNN_FUSED", "FFCNN_FUSED_HEADS", "FFCNN_FUSED_MEGA",
                     "FFCNN_FUSED_STORE", "FFCNN_FUSED_CASCADE",
                     "FFCNN_CONV0_INT8",
                     "FFCNN_CONV0_PALLAS", "FFCNN_PLANAR_HEADS",
-                    "FFCNN_HEAD_F32",
+                    "FFCNN_HEAD_F32", "FFCNN_F32_STAGES",
                     "FFCNN_TOPK_IMPL", "FFCNN_DECODE_IMPL",
-                    "FFCNN_ARGMAX", "FFCNN_NMS_IMPL")
+                    "FFCNN_ARGMAX", "FFCNN_NMS_IMPL", "FFCNN_V8_NMS_IOU")
 
 
 def _planarize_heads(ir: NetIR, params: Dict, quant):
@@ -275,6 +276,18 @@ class Net:
                     and get_flag("FFCNN_HEAD_F32", "0") == "1")
         if self._head_runs and head_runs_usable(batch_size) and not head_f32:
             runs += list(self._head_runs)   # same start/end traffic shape
+        # mirror _build_pipeline: a forced f32 stage (FFCNN_F32_STAGES)
+        # drops every fused run overlapping it
+        stages = get_flag("FFCNN_F32_STAGES", "") \
+            if self.mode != "parity" else ""
+        if stages:
+            widths = {int(s) for s in stages.split(",") if s.strip()}
+            sset = {li for li, l in enumerate(self.ir.layers)
+                    if self.ir.blobs[li + 1].w in widths
+                    and l.type in (LayerType.CONV, LayerType.SHORTCUT)}
+            runs = [r for r in runs
+                    if not any(li in sset
+                               for li in range(r.start, r.end + 1))]
         store = get_flag("FFCNN_FUSED_STORE", "")
         # run_blocks_cs implements only the 'f32' boundary-storage
         # override (anything else stores the input dtype); modeling
@@ -324,7 +337,11 @@ class Net:
 
     # ------------------------------------------------------------- pipelines
     def _head_layers(self):
-        return [l for l in self.ir.layers if l.type == LayerType.YOLO]
+        return [l for l in self.ir.layers
+                if l.type in (LayerType.YOLO, LayerType.YOLOV8)]
+
+    def _has_v8_heads(self) -> bool:
+        return any(l.type == LayerType.YOLOV8 for l in self.ir.layers)
 
     def _can_fold_input(self) -> bool:
         first = self.ir.layers[0]
@@ -391,13 +408,19 @@ class Net:
         self._forwards.clear()
 
     def _max_candidates(self) -> int:
-        """Most YOLO candidates the model can emit at its input size: the
-        head grids' total, clamped by the reference's bbox arena capacity
-        (ffcnn.c:243; apply_arena_cap zeroes everything past it, so a
-        larger top-k could never fill)."""
-        return min(sum(self.ir.blobs[li].w * self.ir.blobs[li].h * 3
-                       for li, l in enumerate(self.ir.layers)
-                       if l.type == LayerType.YOLO),
+        """Most head candidates the model can emit at its input size: the
+        head grids' total (3 anchors/cell for darknet heads, 1 for the
+        anchor-free v8 head), clamped by the reference's bbox arena
+        capacity (ffcnn.c:243; apply_arena_cap zeroes everything past it,
+        so a larger top-k could never fill).  The arena quirk belongs to
+        the reference's graph format — pure-v8 graphs skip it."""
+        total = sum(self.ir.blobs[li].w * self.ir.blobs[li].h
+                    * (3 if l.type == LayerType.YOLO else 1)
+                    for li, l in enumerate(self.ir.layers)
+                    if l.type in (LayerType.YOLO, LayerType.YOLOV8))
+        if not any(l.type == LayerType.YOLO for l in self.ir.layers):
+            return total
+        return min(total,
                    arena_capacity(self.ir.blobs[0].w, self.ir.blobs[0].h,
                                   self.ir.blobs[0].c))
 
@@ -489,23 +512,59 @@ class Net:
                 from .graph.build import head_chain_layers
                 f32set = head_chain_layers(ir)
                 hruns = None
+            # FFCNN_F32_STAGES="20" (comma list of stage widths): force
+            # every conv/shortcut whose OUTPUT blob has that spatial width
+            # to compute AND store f32, casting back to bf16 at the stage
+            # exit — the per-stage bf16-drift bisection (VERDICT r4 #2;
+            # tools/bisect_f32stage.py).  Composes with FFCNN_HEAD_F32
+            # (union).  Fused Pallas runs overlapping a forced stage are
+            # dropped for this pipeline: they compute in bf16 internally
+            # and would silently bypass the forcing.
+            stages = get_flag("FFCNN_F32_STAGES", "") \
+                if self.mode != "parity" else ""
+            if stages:
+                widths = {int(s) for s in stages.split(",") if s.strip()}
+                sset = {li for li, l in enumerate(ir.layers)
+                        if ir.blobs[li + 1].w in widths
+                        and l.type in (LayerType.CONV, LayerType.SHORTCUT)}
+                f32set = frozenset(sset | set(f32set or ()))
+                runs = [r for r in (runs or [])
+                        if not any(li in f32set
+                                   for li in range(r.start, r.end + 1))] \
+                    or None
+                hruns = [r for r in (hruns or [])
+                         if not any(li in f32set
+                                    for li in range(r.start, r.end + 1))] \
+                    or None
             feats = forward_features(ir, params, x, precision=precision,
                                      input_dtype=dtype, quant=quant,
                                      fused_runs=runs, head_runs=hruns,
                                      conv0_int8=c0q, conv0_pallas=c0p,
                                      fused_interpret=interp,
                                      f32_layers=f32set)
+            from .ops.yolo import decode_head_v8
             yolo_lis = [yli for yli, l in enumerate(ir.layers)
-                        if l.type == LayerType.YOLO]
+                        if l.type in (LayerType.YOLO, LayerType.YOLOV8)]
             decoded = concat_heads([
+                decode_head_v8(f, l, net_w, net_h)
+                if l.type == LayerType.YOLOV8 else
                 decode_head(f, l, net_w, net_h,
                             planar=pflags.get(yli, False))
                 for f, l, yli in zip(feats, heads_meta, yolo_lis)])
-            decoded = apply_arena_cap(
-                decoded, arena_capacity(net_w, net_h, ir.blobs[0].c))
+            if any(l.type == LayerType.YOLO for l in heads_meta):
+                # bbox-arena overflow is a reference-graph quirk
+                # (ffcnn.c:242-244); anchor-free graphs have no arena
+                decoded = apply_arena_cap(
+                    decoded, arena_capacity(net_w, net_h, ir.blobs[0].c))
+                nms_thr, nms_kind = NMS_THRESHOLD, "min"
+            else:
+                # pure-v8 graph: standard union-IoU, public default 0.7
+                nms_thr = float(get_flag("FFCNN_V8_NMS_IOU",
+                                         str(V8_NMS_THRESHOLD)))
+                nms_kind = "union"
             return nms(decoded.boxes, decoded.scores, decoded.classes,
-                       k=topk, threshold=NMS_THRESHOLD,
-                       scale1=s1, scale2=s2)
+                       k=topk, threshold=nms_thr,
+                       scale1=s1, scale2=s2, iou_kind=nms_kind)
 
         return jax.jit(pipeline)
 

@@ -37,9 +37,13 @@ class NMSResult(NamedTuple):
     #                         461-469); this flag makes the smaller K honest.
 
 
-def _iou_min(box, others):
-    """IoU with min-area denominator (ffcnn.c:308-317).  box: (..., 4);
-    others: (..., K, 4).  Degenerate 0/0 → NaN → compares False, like C."""
+def _iou_min(box, others, kind: str = "min"):
+    """IoU of ``box`` (..., 4) vs ``others`` (..., K, 4).
+
+    ``kind='min'``: intersection / min(area) — the reference's quirk
+    (ffcnn.c:308-317); degenerate 0/0 → NaN → compares False, like C.
+    ``kind='union'``: the standard metric definition (used by the YOLOv8
+    head's NMS, which follows the public formulation, not the quirk)."""
     x1 = jnp.maximum(box[..., None, 0], others[..., 0])
     y1 = jnp.maximum(box[..., None, 1], others[..., 1])
     x2 = jnp.minimum(box[..., None, 2], others[..., 2])
@@ -47,16 +51,19 @@ def _iou_min(box, others):
     inter = jnp.where((x1 < x2) & (y1 < y2), (x2 - x1) * (y2 - y1), 0.0)
     a1 = (box[..., 2] - box[..., 0]) * (box[..., 3] - box[..., 1])
     a2 = (others[..., 2] - others[..., 0]) * (others[..., 3] - others[..., 1])
+    if kind == "union":
+        return inter / (a1[..., None] + a2 - inter)
     return inter / jnp.minimum(a1[..., None], a2)
 
 
-def _keep_mask_scan(top_boxes, top_scores, top_classes, k, threshold):
+def _keep_mask_scan(top_boxes, top_scores, top_classes, k, threshold,
+                    iou_kind="min"):
     """Greedy scan as a fori_loop of XLA programs (portable, K dispatches)."""
     slot = jnp.arange(k)
 
     def body(i, keep):
         anchor_ok = keep[:, i] & (top_scores[:, i] > 0)       # (N,)
-        iou = _iou_min(top_boxes[:, i], top_boxes)            # (N, K)
+        iou = _iou_min(top_boxes[:, i], top_boxes, iou_kind)  # (N, K)
         same_cls = top_classes == top_classes[:, i][:, None]
         suppress = (anchor_ok[:, None] & same_cls & (slot > i)[None, :]
                     & (iou > threshold))
@@ -65,7 +72,8 @@ def _keep_mask_scan(top_boxes, top_scores, top_classes, k, threshold):
     return lax.fori_loop(0, k, body, top_scores > 0)
 
 
-def _keep_mask_sweep(top_boxes, top_scores, top_classes, k, threshold):
+def _keep_mask_sweep(top_boxes, top_scores, top_classes, k, threshold,
+                     iou_kind="min"):
     """Greedy NMS by fixpoint iteration — EXACTLY the sequential result.
 
     The greedy recurrence ``keep[j] = score[j]>0 ∧ ¬∃i<j: keep[i] ∧ sup[i,j]``
@@ -75,7 +83,7 @@ def _keep_mask_sweep(top_boxes, top_scores, top_classes, k, threshold):
     sweeps and in practice converges in a handful; each sweep is one batched
     (K)×(K,K) masked matvec — no per-candidate dispatch chain.
     """
-    iou = _iou_min(top_boxes, top_boxes[:, None])             # (N, K, K)
+    iou = _iou_min(top_boxes, top_boxes[:, None], iou_kind)   # (N, K, K)
     same_cls = top_classes[:, :, None] == top_classes[:, None, :]
     tri = jnp.tril(jnp.ones((k, k), jnp.bool_), k=-1)         # i < j (col j)
     sup = (iou > threshold) & same_cls & tri.T[None]          # (N, K, K)
@@ -109,7 +117,8 @@ def _on_tpu() -> bool:
 
 
 def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
-        scale1: int = 1, scale2: int = 1, impl: str = "auto") -> NMSResult:
+        scale1: int = 1, scale2: int = 1, impl: str = "auto",
+        iou_kind: str = "min") -> NMSResult:
     """boxes (N, M, 4), scores (N, M) with 0 = absent, classes (N, M).
 
     ``impl`` selects how the greedy recurrence is evaluated — all three give
@@ -117,6 +126,10 @@ def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
       * 'sweep' (default): fixpoint sweeps of batched masked matvecs
       * 'scan':   K-step fori_loop (one dispatch per candidate)
       * 'pallas': whole scan inside one on-chip kernel (kernels/nms_pallas.py)
+
+    ``iou_kind``: 'min' = the reference's inter/min(area) quirk (default);
+    'union' = the standard metric (YOLOv8 heads).  The pallas kernel only
+    implements 'min'; 'union' falls back to 'sweep'/'scan'.
     """
     n, m, _ = boxes.shape
     k = min(k, m)
@@ -191,6 +204,8 @@ def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
         import os
         impl = os.environ.get("FFCNN_NMS_IMPL",
                               "scan" if k <= 128 else "sweep")
+    if impl == "pallas" and iou_kind != "min":
+        impl = "sweep"
     if impl == "pallas":
         from ..kernels.nms_pallas import nms_keep_mask
         keep = nms_keep_mask(top_boxes, top_scores, top_classes,
@@ -198,10 +213,10 @@ def nms(boxes, scores, classes, *, k: int = 128, threshold: float = 0.5,
                              interpret=not _on_tpu()) > 0.5
     elif impl == "sweep":
         keep = _keep_mask_sweep(top_boxes, top_scores, top_classes, k,
-                                threshold)
+                                threshold, iou_kind)
     else:
         keep = _keep_mask_scan(top_boxes, top_scores, top_classes, k,
-                               threshold)
+                               threshold, iou_kind)
 
     rescale = jnp.float32(scale1) / jnp.float32(scale2)       # ffcnn.c:327
     out_scores = jnp.where(keep, top_scores, 0.0)

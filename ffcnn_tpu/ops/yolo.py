@@ -183,6 +183,52 @@ def decode_head(feat, layer: Layer, net_w: int, net_h: int, *,
                         cidx.reshape(n, m))
 
 
+def decode_head_v8(feat, layer: Layer, net_w: int, net_h: int
+                   ) -> DecodedBoxes:
+    """Anchor-free YOLOv8 detect-head decode (extension; BASELINE
+    configs[4] — no reference counterpart; semantics follow the public
+    YOLOv8 formulation, implemented independently).
+
+    ``feat``: (N, h, w, 4*reg_max + nc) — the converter's concat of the
+    detect module's box branch (cv2: 4 sides x reg_max DFL logits) and
+    class branch (cv3: nc logits).  Decode:
+
+      * DFL: softmax over the reg_max bins of each side, expectation
+        against bin indices 0..reg_max-1 → (l, t, r, b) distances in
+        stride units.  The softmax/expectation runs in f32 on tiny
+        (N,h,w,4,reg_max) slices; the bulk class tensor is reduced in its
+        native dtype like the darknet decode.
+      * anchor points at cell centers: (j+0.5, i+0.5) * stride.
+      * confidence = sigmoid(max class logit); class = first-max argmax
+        (no objectness term).  Scores below ``layer.ignore_thres`` (the
+        cfg ``conf`` key, default 0.25) zero out, like the darknet head's
+        ignore_thres gate.
+
+    Boxes come out in net-input pixels, matching decode_head's convention
+    so concat_heads / NMS / rescale compose unchanged."""
+    n, h, w, _ = feat.shape
+    nc = layer.class_num
+    rm = layer.reg_max
+    stride = layer.stride
+    box = feat[..., :4 * rm].astype(jnp.float32).reshape(n, h, w, 4, rm)
+    box = box - jax.scipy.special.logsumexp(box, axis=-1, keepdims=True)
+    dist = jnp.sum(jnp.exp(box) * jnp.arange(rm, dtype=jnp.float32), axis=-1)
+    cidx, cs = _argmax_max(feat[..., 4 * rm:])
+    conf = jnp.reciprocal(1.0 + jnp.exp(-cs))
+    conf = jnp.where(conf >= layer.ignore_thres, conf, 0.0)
+
+    jj = jnp.asarray(np.arange(w, dtype=np.float32) + 0.5)[None, None, :]
+    ii = jnp.asarray(np.arange(h, dtype=np.float32) + 0.5)[None, :, None]
+    x1 = (jj - dist[..., 0]) * stride
+    y1 = (ii - dist[..., 1]) * stride
+    x2 = (jj + dist[..., 2]) * stride
+    y2 = (ii + dist[..., 3]) * stride
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+    m = h * w
+    return DecodedBoxes(boxes.reshape(n, m, 4), conf.reshape(n, m),
+                        cidx.reshape(n, m))
+
+
 def concat_heads(heads) -> DecodedBoxes:
     return DecodedBoxes(
         boxes=jnp.concatenate([h.boxes for h in heads], axis=1),

@@ -157,6 +157,38 @@ def yolo_decode(feat: np.ndarray, layer, net_w: int, net_h: int) -> List[Tuple]:
     return boxes
 
 
+def yolov8_decode(feat: np.ndarray, layer, net_w: int, net_h: int
+                  ) -> List[Tuple]:
+    """Anchor-free YOLOv8 DFL head decode (extension; no reference
+    counterpart — implements the public formulation independently, the
+    semantic oracle for ops.yolo.decode_head_v8).  ``feat``:
+    (h, w, 4*reg_max + nc); returns (class, score, x1, y1, x2, y2) in
+    net-input pixels, scan order (rows, cols)."""
+    h, w, _ = feat.shape
+    rm, nc, stride = layer.reg_max, layer.class_num, layer.stride
+    out = []
+    for i in range(h):
+        for j in range(w):
+            v = feat[i, j].astype(np.float64)
+            cls = v[4 * rm:]
+            cidx = int(np.argmax(cls))               # first-max
+            conf = 1.0 / (1.0 + np.exp(-cls[cidx]))
+            if conf < layer.ignore_thres:
+                continue
+            dist = []
+            for side in range(4):
+                logits = v[side * rm:(side + 1) * rm]
+                e = np.exp(logits - logits.max())
+                p = e / e.sum()
+                dist.append(float(np.dot(p, np.arange(rm))))
+            l_, t_, r_, b_ = dist
+            cx, cy = j + 0.5, i + 0.5
+            out.append((cidx, np.float32(conf),
+                        (cx - l_) * stride, (cy - t_) * stride,
+                        (cx + r_) * stride, (cy + b_) * stride))
+    return out
+
+
 def nms(boxes: List[Tuple], threshold: float, use_min: bool,
         s1: int, s2: int) -> List[Tuple]:
     """Reference greedy NMS (ffcnn.c:298-335): sort desc by score, per-class
@@ -227,9 +259,14 @@ def net_candidates(ir: NetIR, params: Dict[int, FoldedConvParams],
         elif t == LayerType.YOLO:
             boxes.extend(yolo_decode(inp, layer, net_w, net_h))
             out = None
+        elif t == LayerType.YOLOV8:
+            boxes.extend(yolov8_decode(inp, layer, net_w, net_h))
+            out = None
         else:
             raise ValueError(f"unknown layer type {t}")
         blobs[li + 1] = out
+    if not any(l.type == LayerType.YOLO for l in ir.layers):
+        return boxes                    # pure-v8 graph: no arena quirk
     # bbox arena capacity: the reference's box list aliases the input blob
     # (ffcnn.c:242-244), so appends stop silently at input_bytes/sizeof(BBOX)
     # candidates (ffcnn.c:461) — first-come in this exact append order.
@@ -239,11 +276,20 @@ def net_candidates(ir: NetIR, params: Dict[int, FoldedConvParams],
 
 def net_forward(ir: NetIR, params: Dict[int, FoldedConvParams],
                 x: np.ndarray, s1: int = 1, s2: int = 1,
-                nms_threshold: float = 0.5) -> List[Tuple]:
+                nms_threshold: float = None) -> List[Tuple]:
     """Full oracle forward: preprocessed net input (H, W, C) → final box list
     (class, score, x1, y1, x2, y2) in original-image coords.  Mirrors
-    net_forward's sequential dispatch (ffcnn.c:476-520)."""
-    return nms(net_candidates(ir, params, x), nms_threshold, True, s1, s2)
+    net_forward's sequential dispatch (ffcnn.c:476-520).  Pure-v8 graphs
+    use the standard union-IoU NMS at 0.7 (the public default the product
+    pipeline mirrors, net.py V8_NMS_THRESHOLD); reference graphs keep the
+    min-IoU 0.5 quirk (ffcnn.c:316,519)."""
+    v8_only = (ir.layers and not any(l.type == LayerType.YOLO
+                                     for l in ir.layers)
+               and any(l.type == LayerType.YOLOV8 for l in ir.layers))
+    if nms_threshold is None:
+        nms_threshold = 0.7 if v8_only else 0.5
+    return nms(net_candidates(ir, params, x), nms_threshold,
+               not v8_only, s1, s2)
 
 
 def detect(ir: NetIR, params: Dict[int, FoldedConvParams], bgr: np.ndarray,

@@ -22,7 +22,7 @@ from ..graph.build import forward_features
 from ..ops.nms import nms
 from ..ops.preprocess import letterbox, letterbox_params
 from ..ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
-                        decode_head)
+                        decode_head, decode_head_v8)
 from .mesh import (DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS, activation_sharding,
                    batch_sharding, replicated)
 
@@ -50,7 +50,8 @@ def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
     pipeline per shard via shard_map."""
     net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
     _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
-    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLO]
+    heads_meta = [l for l in ir.layers
+                  if l.type in (LayerType.YOLO, LayerType.YOLOV8)]
 
     bshard = batch_sharding(mesh)
     ashard = activation_sharding(mesh)
@@ -72,12 +73,19 @@ def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
             feats = [jax.lax.with_sharding_constraint(f, bshard)
                      for f in feats]
         decoded = concat_heads([
+            decode_head_v8(f.astype(jnp.float32), l, net_w, net_h)
+            if l.type == LayerType.YOLOV8 else
             decode_head(f.astype(jnp.float32), l, net_w, net_h)
             for f, l in zip(feats, heads_meta)])
-        decoded = apply_arena_cap(
-            decoded, arena_capacity(net_w, net_h, ir.blobs[0].c))
+        if any(l.type == LayerType.YOLO for l in heads_meta):
+            decoded = apply_arena_cap(
+                decoded, arena_capacity(net_w, net_h, ir.blobs[0].c))
+            kind = "min"
+        else:
+            kind = "union"    # pure-v8 graph: standard IoU (net.py policy)
         return nms(decoded.boxes, decoded.scores, decoded.classes,
-                   k=topk, threshold=nms_threshold, scale1=s1, scale2=s2)
+                   k=topk, threshold=nms_threshold, scale1=s1, scale2=s2,
+                   iou_kind=kind)
 
     def param_sharding(li, name, arr, shard_this, report):
         if not (shard_filters and shard_this):

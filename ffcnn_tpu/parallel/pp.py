@@ -62,7 +62,7 @@ from ..graph.build import forward_features
 from ..ops.nms import nms
 from ..ops.preprocess import letterbox, letterbox_params
 from ..ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
-                        decode_head)
+                        decode_head, decode_head_v8)
 from .mesh import DATA_AXIS, PIPE_AXIS
 
 
@@ -109,7 +109,7 @@ def plan_stages(ir: NetIR, n_stages: int, *, microbatch: int = 1,
     O(n²·S) linear-partition DP — n is a layer count, so cheap)."""
     n = len(ir.layers)
     yolos = [li for li, l in enumerate(ir.layers)
-             if l.type == LayerType.YOLO]
+             if l.type in (LayerType.YOLO, LayerType.YOLOV8)]
     if not yolos:
         raise ValueError("pipeline planning needs at least one yolo head")
     last_cut_max = min(yolos)
@@ -203,7 +203,8 @@ def build_pp_pipeline(ir: NetIR, params, mesh: Mesh, img_h: int, img_w: int,
     M = n_microbatches
     net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
     _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
-    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLO]
+    heads_meta = [l for l in ir.layers
+                  if l.type in (LayerType.YOLO, LayerType.YOLOV8)]
     if stages is None:
         stages = plan_stages(ir, S, dtype="f32" if dtype == jnp.float32
                              else "bf16")
@@ -229,12 +230,19 @@ def build_pp_pipeline(ir: NetIR, params, mesh: Mesh, img_h: int, img_w: int,
             mb = imgs_t.shape[0]
             if s == S - 1:
                 d = concat_heads([
+                    decode_head_v8(f.astype(jnp.float32), l, net_w, net_h)
+                    if l.type == LayerType.YOLOV8 else
                     decode_head(f.astype(jnp.float32), l, net_w, net_h)
                     for f, l in zip(heads, heads_meta)])
-                d = apply_arena_cap(
-                    d, arena_capacity(net_w, net_h, ir.blobs[0].c))
+                if any(l.type == LayerType.YOLO for l in heads_meta):
+                    d = apply_arena_cap(
+                        d, arena_capacity(net_w, net_h, ir.blobs[0].c))
+                    kind = "min"
+                else:
+                    kind = "union"   # pure-v8: standard IoU (net.py policy)
                 res = nms(d.boxes, d.scores, d.classes, k=topk,
-                          threshold=nms_threshold, scale1=s1, scale2=s2)
+                          threshold=nms_threshold, scale1=s1, scale2=s2,
+                          iou_kind=kind)
                 return jnp.zeros((mb, width), dtype), res
             return _pack(out, st.live_out, mb, width, dtype), zero_res
 

@@ -74,12 +74,13 @@ def _int8_blobs(ir: NetIR, min_channels: int,
     """Blob indices eligible for int8 storage.  Excludes the net input
     (uint8 pixels), YOLO head inputs (decode precision), and small-C blobs
     (int8 (32,128) tiling inflates them)."""
-    head_inputs = {l.index for l in ir.layers if l.type == LayerType.YOLO}
+    head_inputs = {l.index for l in ir.layers
+                   if l.type in (LayerType.YOLO, LayerType.YOLOV8)}
     # also keep the blob FEEDING each head conv in float: the last two hops
     # before decode are precision-critical (argmax flips there create
     # spurious boxes — measured on the golden image)
     head_conv_inputs = {l.index - 1 for l in ir.layers
-                        if l.type == LayerType.YOLO}
+                        if l.type in (LayerType.YOLO, LayerType.YOLOV8)}
     out = []
     for bi in range(1, len(ir.blobs)):
         if bi in head_inputs or bi in head_conv_inputs:
@@ -87,7 +88,8 @@ def _int8_blobs(ir: NetIR, min_channels: int,
         if exclude and bi in exclude:
             continue                     # e.g. fused-run blobs (float path)
         li = bi - 1                      # producing layer
-        if li < len(ir.layers) and ir.layers[li].type == LayerType.YOLO:
+        if li < len(ir.layers) and ir.layers[li].type in (
+                LayerType.YOLO, LayerType.YOLOV8):
             continue                     # yolo layers produce no blob
         if ir.blobs[bi].c >= min_channels:
             out.append(bi)
@@ -189,7 +191,8 @@ def build_plan(ir: NetIR, params, absmax,
             continue
         if li not in blob_scale:
             continue      # input blob (index li) is float: conv stays float
-        if li + 1 < len(ir.layers) and ir.layers[li + 1].type == LayerType.YOLO:
+        if li + 1 < len(ir.layers) and ir.layers[li + 1].type in (
+                LayerType.YOLO, LayerType.YOLOV8):
             # Head convs keep float weights: their outputs feed the decode
             # formulas directly and per-class argmax flips under weight
             # quantization produce spurious boxes (measured on the golden

@@ -203,7 +203,7 @@ def layer_costs(ir: NetIR, batch: int, dtype: str = "bf16",
                 acts += blob_bytes(run.end + 1, at_run_edge=True)
             out.append(LayerCost(li, acts, weight_bytes(li), flops, vpu))
             continue
-        if l.type == LayerType.YOLO:
+        if l.type in (LayerType.YOLO, LayerType.YOLOV8):
             out.append(LayerCost(li, blob_bytes(li), 0, 0))
             continue
         if l.type == LayerType.DROPOUT:

@@ -1,0 +1,177 @@
+"""YOLOv8 ingest (BASELINE configs[4]; ffcnn_tpu/yolov8.py): anchor-free
+DFL head, graph lowering onto the darknet dialect, converter weight
+packing, and the torch differential.
+
+The reference framework has no anchor-free model; correctness anchors are
+(a) the torch nn reference (tools/torch_yolov8_ref.py) — an independent
+compute stack that strict-loads the same state dict — and (b) the NumPy
+oracle (oracle/numpy_ref.yolov8_decode), the repo's semantic source of
+truth for every op."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (forces CPU backend)
+from ffcnn_tpu import yolov8
+from ffcnn_tpu.darknet.cfg import dump, parse_cfg
+from ffcnn_tpu.darknet.ir import LayerType
+from ffcnn_tpu.darknet.weights import load_weights
+from ffcnn_tpu.net import Net
+from ffcnn_tpu.oracle import numpy_ref
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+NC, SCALE, SIZE = 80, "n", 320
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return yolov8.synthesize_state_dict(NC, SCALE, seed=0)
+
+
+@pytest.fixture(scope="module")
+def graph(sd):
+    cfg, wbytes = yolov8.convert(sd, NC, SCALE, size=SIZE, conf=0.10)
+    ir = parse_cfg(cfg, is_path=False)
+    params, _ = load_weights(ir, wbytes)
+    return ir, params
+
+
+def test_graph_structure(graph):
+    """Head scales sit at strides 8/16/32; exactly 3 [yolov8] heads; every
+    conv's weight count is served by the packed stream (load_weights
+    validated the float census already — that is the structural contract)."""
+    ir, _ = graph
+    heads = [(li, l) for li, l in enumerate(ir.layers)
+             if l.type == LayerType.YOLOV8]
+    assert len(heads) == 3
+    assert [l.stride for _, l in heads] == [8, 16, 32]
+    assert [ir.blobs[li].w for li, _ in heads] == [SIZE // 8, SIZE // 16,
+                                                   SIZE // 32]
+    assert all(l.reg_max == 16 and l.class_num == NC for _, l in heads)
+    # head input channels = 4*reg_max + nc
+    assert all(ir.blobs[li].c == 4 * 16 + NC for li, _ in heads)
+
+
+def test_dump_roundtrip(graph):
+    """net_dump covers the new layer type without disturbing the table."""
+    ir, _ = graph
+    text = dump(ir)
+    assert text.count(" yolov8 ") == 3
+    assert "reg_max: 16" in text
+
+
+def test_converter_float_census(sd):
+    """Packed stream length must equal the graph's exact float demand for
+    every scale the emitter supports (the loader raises otherwise)."""
+    for scale in ("n", "s"):
+        s = yolov8.synthesize_state_dict(8, scale, seed=1)
+        cfg, wbytes = yolov8.convert(s, 8, scale, size=160)
+        ir = parse_cfg(cfg, is_path=False)
+        load_weights(ir, wbytes)   # raises on any census mismatch
+
+
+def test_torch_differential(sd, graph):
+    """The independent torch nn forward and the NumPy oracle must agree on
+    every candidate of every head (no conf threshold → no knife edges).
+    This validates BN folding, C2f route lowering, SPPF pool equivalence,
+    and the .weights packing order in one shot."""
+    torch_ref = pytest.importorskip("torch_yolov8_ref")
+    ir, params = graph
+    model = torch_ref.build_model(sd, NC, SCALE)
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(SIZE, SIZE, 3).astype(np.float32)
+    raws = torch_ref.forward_heads(model, x)
+    t_cands = torch_ref.decode(raws, NC, conf=0.0)
+
+    # oracle at conf=0: rebuild the graph with conf=0 heads
+    cfg0, w0 = yolov8.convert(sd, NC, SCALE, size=SIZE, conf=0.0)
+    ir0 = parse_cfg(cfg0, is_path=False)
+    params0, _ = load_weights(ir0, w0)
+    o_cands = numpy_ref.net_candidates(ir0, params0, x)
+
+    assert len(t_cands) == len(o_cands) == sum(
+        (SIZE // s) ** 2 for s in (8, 16, 32))
+    d_score = max(abs(float(t[1]) - float(o[1]))
+                  for t, o in zip(t_cands, o_cands))
+    d_box = max(abs(float(tv) - float(ov))
+                for t, o in zip(t_cands, o_cands)
+                for tv, ov in zip(t[2:], o[2:]))
+    assert d_score < 1e-3
+    assert d_box < 1e-2          # net pixels
+    assert all(t[0] == o[0] for t, o in zip(t_cands, o_cands))
+
+
+def test_pipeline_vs_oracle(graph):
+    """The jax pipeline (parity mode: f32 end-to-end, the accuracy
+    product) must reproduce the oracle's detection list on the synthetic
+    model: same count, same classes, boxes within f32 tolerance."""
+    ir, params = graph
+    net = Net(ir, params, mode="parity")
+    img = (np.random.RandomState(1).rand(SIZE, SIZE, 3)
+           * 255).astype(np.uint8)
+    dets = net.detect(img)
+    o = numpy_ref.detect(ir, params, img)
+    assert len(dets) == len(o) > 0
+    for d, (cls, score, x1, y1, x2, y2) in zip(dets, o):
+        assert d.class_id == cls
+        assert abs(d.score - float(score)) < 1e-4
+        for a, b in zip((d.x1, d.y1, d.x2, d.y2), (x1, y1, x2, y2)):
+            assert abs(a - b) < 0.1
+
+
+def test_pure_v8_skips_arena_cap(graph):
+    """Pure-v8 graphs have no bbox arena (the aliasing quirk is a
+    reference-format artifact, ffcnn.c:242-244): the candidate budget is
+    the full grid total, not the arena clamp."""
+    ir, _ = graph
+    net = Net.__new__(Net)
+    net.ir = ir
+    total = sum((SIZE // s) ** 2 for s in (8, 16, 32))
+    assert Net._max_candidates(net) == total
+
+
+def test_union_iou_nms():
+    """iou_kind='union' must implement the standard metric (the v8 NMS
+    policy) — cross-checked against the oracle's use_min=False path."""
+    import jax.numpy as jnp
+
+    from ffcnn_tpu.ops.nms import nms
+
+    rng = np.random.RandomState(3)
+    n = 40
+    xy = rng.rand(n, 2) * 200
+    wh = rng.rand(n, 2) * 80 + 10
+    boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    classes = rng.randint(0, 3, n)
+    res = nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+              jnp.asarray(classes)[None], k=n, threshold=0.5,
+              iou_kind="union")
+    keep = np.asarray(res.scores[0]) > 0
+    got = sorted((float(s), int(c), *map(float, b)) for s, c, b in
+                 zip(np.asarray(res.scores[0])[keep],
+                     np.asarray(res.classes[0])[keep],
+                     np.asarray(res.boxes[0])[keep]))
+
+    cands = [(int(c), np.float32(s), *map(float, b))
+             for c, s, b in zip(classes, scores, boxes)]
+    o = numpy_ref.nms(cands, 0.5, False, 1, 1)
+    want = sorted((float(s), int(c), *map(float, b)) for c, s, *b in o)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[1] == w[1]
+        assert all(abs(a - b) < 1e-3 for a, b in zip(g, w) if not
+                   isinstance(a, int))
+
+
+def test_one_call_load(sd):
+    """yolov8.load: dict in → working Net (detect_stream-compatible)."""
+    net = yolov8.load(sd, NC, SCALE, size=160, conf=0.05, mode="fast")
+    img = (np.random.RandomState(2).rand(160, 160, 3)
+           * 255).astype(np.uint8)
+    dets = net.detect(img)
+    assert isinstance(dets, list)
