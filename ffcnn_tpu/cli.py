@@ -243,6 +243,39 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_convert_v8(args) -> int:
+    """YOLOv8 ingest (ffcnn_tpu/yolov8.py): state dict → darknet-dialect
+    cfg + .weights on disk, so the model flows through every existing
+    surface (detect/batch/serve/export/DP) as ordinary model files.
+    Host-only: no device, no jax."""
+    import torch
+
+    from . import yolov8
+    from .darknet.cfg import parse_cfg
+    from .darknet.weights import load_weights
+
+    sd = torch.load(args.sd, map_location="cpu", weights_only=True)
+    if not isinstance(sd, dict):
+        print("error: expected a plain state dict "
+              "(torch.save(model.state_dict(), path))", file=sys.stderr)
+        return 1
+    cfg_text, wbytes = yolov8.convert(sd, args.nc, args.scale,
+                                      size=args.size, conf=args.conf)
+    ir = parse_cfg(cfg_text, is_path=False)
+    load_weights(ir, wbytes)       # raises on any float-census mismatch
+    cfg_path, w_path = args.out + ".cfg", args.out + ".weights"
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+    with open(w_path, "wb") as f:
+        f.write(wbytes)
+    heads = sum(1 for l in ir.layers if l.type.name == "YOLOV8")
+    print(f"wrote {cfg_path} ({len(ir.layers)} layers, {heads} v8 heads) "
+          f"+ {w_path} ({len(wbytes)} bytes, census-validated)")
+    print(f"try: ffcnn detect img.bmp --cfg {cfg_path} "
+          f"--weights {w_path}")
+    return 0
+
+
 _JIT_COMMANDS = {"detect", "bench", "profile", "batch", "export"}
 
 
@@ -329,6 +362,19 @@ def main(argv=None) -> int:
     _add_model_args(pm)
     pm.set_defaults(mode="fast")
 
+    pv = sub.add_parser(
+        "convert-v8", help="YOLOv8 state dict -> darknet cfg + .weights "
+                           "(then every other command serves the output)")
+    pv.add_argument("sd", help="torch-saved PLAIN state dict "
+                               "(torch.save(model.state_dict(), path))")
+    pv.add_argument("-o", "--out", default="yolov8",
+                    help="output basename (writes <out>.cfg + <out>.weights)")
+    pv.add_argument("--nc", type=int, default=80, help="class count")
+    pv.add_argument("--scale", default="n", choices=("n", "s", "m", "l", "x"))
+    pv.add_argument("--size", type=int, default=640, help="net input size")
+    pv.add_argument("--conf", type=float, default=0.25,
+                    help="score threshold baked into the [yolov8] heads")
+
     args = ap.parse_args(argv)
     # Only device-touching commands pay JAX startup + compile-cache setup;
     # `dump` stays a pure host-side cfg parse.
@@ -338,7 +384,8 @@ def main(argv=None) -> int:
         enable_compile_cache()
     return {"detect": cmd_detect, "dump": cmd_dump, "bench": cmd_bench,
             "profile": cmd_profile, "batch": cmd_batch,
-            "export": cmd_export, "roofline": cmd_roofline}[args.cmd](args)
+            "export": cmd_export, "roofline": cmd_roofline,
+            "convert-v8": cmd_convert_v8}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -168,6 +168,25 @@ def test_union_iou_nms():
                    isinstance(a, int))
 
 
+def test_cli_convert_v8(sd, tmp_path):
+    """ffcnn convert-v8 writes loadable cfg+weights files that the whole
+    existing surface (Net.load, detect, serve, export) consumes."""
+    torch = pytest.importorskip("torch")
+
+    from ffcnn_tpu.cli import main as cli_main
+
+    sd_path = tmp_path / "v8n_sd.pt"
+    torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, sd_path)
+    out = tmp_path / "v8n"
+    rc = cli_main(["convert-v8", str(sd_path), "-o", str(out),
+                   "--size", "160", "--conf", "0.05"])
+    assert rc == 0
+    net = Net.load(str(out) + ".cfg", str(out) + ".weights", mode="fast")
+    img = (np.random.RandomState(5).rand(160, 160, 3)
+           * 255).astype(np.uint8)
+    assert isinstance(net.detect(img), list)
+
+
 def test_one_call_load(sd):
     """yolov8.load: dict in → working Net (detect_stream-compatible)."""
     net = yolov8.load(sd, NC, SCALE, size=160, conf=0.05, mode="fast")
