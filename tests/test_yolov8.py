@@ -168,6 +168,100 @@ def test_union_iou_nms():
                    isinstance(a, int))
 
 
+@pytest.fixture(scope="module")
+def v8_small(sd):
+    """Full v8n graph at a tiny 64x64 input (head grids 8/4/2)."""
+    from ffcnn_tpu.graph.build import params_to_pytree
+    cfg, wbytes = yolov8.convert(sd, NC, SCALE, size=64, conf=0.05)
+    ir = parse_cfg(cfg, is_path=False)
+    raw, _ = load_weights(ir, wbytes)
+    return ir, params_to_pytree(raw)
+
+
+def _v8_reference(ir, params, images, topk=64, thr=0.5):
+    """Single-device f32 pixels-to-boxes mirror of what dp.py/pp.py's
+    last stage does for pure-v8 graphs (decode_head_v8 + union-IoU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffcnn_tpu.graph.build import forward_features
+    from ffcnn_tpu.ops.nms import nms as jnms
+    from ffcnn_tpu.ops.preprocess import letterbox, letterbox_params
+    from ffcnn_tpu.ops.yolo import concat_heads, decode_head_v8
+
+    net_w, net_h = ir.blobs[0].w, ir.blobs[0].h
+    _, _, s1, s2 = letterbox_params(images.shape[2], images.shape[1],
+                                    net_w, net_h)
+    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLOV8]
+
+    @jax.jit
+    def run(bgr):
+        x = letterbox(bgr, net_w, net_h, dtype=jnp.float32)
+        feats = forward_features(ir, params, x)
+        d = concat_heads([decode_head_v8(f, l, net_w, net_h)
+                          for f, l in zip(feats, heads_meta)])
+        return jnms(d.boxes, d.scores, d.classes, k=topk, threshold=thr,
+                    scale1=s1, scale2=s2, iou_kind="union")
+
+    return run(jnp.asarray(images))
+
+
+def _assert_results_match(got, want):
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.classes),
+                                  np.asarray(want.classes))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(want.scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.boxes),
+                               np.asarray(want.boxes), atol=1e-3)
+
+
+def test_dp_sharded_pipeline_v8(v8_small):
+    """The GSPMD DP pipeline's anchor-free decode branch matches the
+    single-device reference on an 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffcnn_tpu.parallel import build_sharded_pipeline, make_mesh
+
+    ir, params = v8_small
+    rng = np.random.RandomState(4)
+    batch = rng.randint(0, 256, (8, 48, 64, 3), dtype=np.uint8)
+    mesh = make_mesh()
+    fn, place = build_sharded_pipeline(ir, mesh, 48, 64,
+                                       dtype=jnp.float32, topk=64)
+    got = fn(place(params), jnp.asarray(batch),
+             jnp.zeros(3), jnp.full(3, 1 / 255.0))
+    want = _v8_reference(ir, params, batch)
+    _assert_results_match(got, want)
+
+
+def test_pp_pipeline_v8(v8_small):
+    """plan_stages accepts v8 heads (all in the last stage) and the
+    GPipe pipeline's last-stage v8 decode matches the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffcnn_tpu.parallel import (build_pp_pipeline, make_mesh,
+                                    plan_stages)
+
+    ir, params = v8_small
+    stages = plan_stages(ir, 4)
+    heads = {li for li, l in enumerate(ir.layers)
+             if l.type == LayerType.YOLOV8}
+    assert heads <= set(range(stages[-1].start, stages[-1].stop))
+
+    mesh = make_mesh(jax.devices()[:4], pipeline_parallel=4)
+    fn = build_pp_pipeline(ir, params, mesh, 48, 64,
+                           n_microbatches=4, topk=64)
+    images = np.random.RandomState(6).randint(
+        0, 256, (8, 48, 64, 3), dtype=np.uint8)
+    got = fn(jnp.asarray(images))
+    want = _v8_reference(ir, params, images)
+    _assert_results_match(got, want)
+
+
 def test_cli_convert_v8(sd, tmp_path):
     """ffcnn convert-v8 writes loadable cfg+weights files that the whole
     existing surface (Net.load, detect, serve, export) consumes."""
