@@ -176,7 +176,17 @@ class Net:
             self._head_runs = []
         if mode == "parity":
             self._dtype = jnp.float32
-            self._precision = jax.lax.Precision.HIGHEST
+            # FFCNN_PARITY_PRECISION (consumed at Net construction, like
+            # FFCNN_FUSED_MINC): 'highest' (default; f32 convs via the
+            # MXU's 6-pass bf16 emulation — print-precision exact vs the
+            # C reference) or 'high' (3-pass — drops the lo*lo term,
+            # ~2e-5 relative conv error; candidate ~2x parity-mode conv
+            # speedup IF the golden + wide-tier device gates stay exact;
+            # r5 A/B, docs/PERF_NOTES.md).
+            from .tuning import get_flag
+            p = get_flag("FFCNN_PARITY_PRECISION", "highest").lower()
+            self._precision = (jax.lax.Precision.HIGH if p == "high"
+                               else jax.lax.Precision.HIGHEST)
         else:
             self._dtype = jnp.bfloat16
             self._precision = None
