@@ -288,3 +288,23 @@ def test_one_call_load(sd):
            * 255).astype(np.uint8)
     dets = net.detect(img)
     assert isinstance(dets, list)
+
+
+def test_int8_plan_on_v8(sd):
+    """quant.py treats [yolov8] heads like [yolo]: the v8 head convs and
+    their feeding blobs stay float in the int8 plan, and the calibrated
+    net runs end to end."""
+    from ffcnn_tpu.darknet.ir import LayerType as LT
+
+    net = yolov8.load(sd, NC, SCALE, size=160, conf=0.05, mode="int8")
+    img = (np.random.RandomState(3).rand(160, 160, 3)
+           * 255).astype(np.uint8)
+    net.calibrate(img[None])
+    assert net.quant is not None
+    head_feed = {l.index for l in net.ir.layers if l.type == LT.YOLOV8}
+    # no head-input blob may be int8-stored, and the convs producing the
+    # head inputs keep float weights
+    assert not (set(net.quant.blob_scale) & head_feed)
+    assert not (set(net.quant.weights) & {li - 1 for li in head_feed})
+    dets = net.detect(img)
+    assert isinstance(dets, list)
