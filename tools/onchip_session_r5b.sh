@@ -27,6 +27,13 @@ FFCNN_PARITY_PRECISION=high timeout 7200 $PY tools/accuracy_report.py \
     --tier wide --platform device --modes parity \
     > $OUT/accuracy_wide_device_parity_high.log 2>&1
 
+# a3. PP stage-body retry if the main-queue leg timed out (fresh process
+# often clears the axon single-program hang; smaller iters, longer rope)
+if ! grep -q sum_stage_ms $OUT/pp_stage_device.log 2>/dev/null; then
+  timeout 5400 $PY tools/pp_stage_device.py --iters 10 \
+      > $OUT/pp_stage_device_retry.log 2>&1
+fi
+
 # b. the one minc8 config still unrecorded (bf16 store)
 timeout 4000 $PY tools/bench_regions.py -o $OUT/regions_r5b.jsonl \
     --configs down_minc8 > $OUT/regions_r5b.log 2>&1
