@@ -290,6 +290,26 @@ def test_one_call_load(sd):
     assert isinstance(dets, list)
 
 
+def test_export_artifact_v8(sd, tmp_path):
+    """jax.export AOT artifacts work for pure-v8 graphs unchanged: the
+    serialized pipeline reproduces the live Net's detections."""
+    from ffcnn_tpu import export
+
+    net = yolov8.load(sd, NC, SCALE, size=160, conf=0.05, mode="fast")
+    path = str(tmp_path / "v8n.ffx")
+    net.export(path, batch_size=2)
+    img = (np.random.RandomState(2).rand(2, 160, 160, 3)
+           * 255).astype(np.uint8)
+    want = net.detect(img)
+    anet = export.ArtifactNet([path])
+    got = anet.detect(img)
+    assert [len(g) for g in got] == [len(w) for w in want]
+    for gs, ws in zip(got, want):
+        for g, w in zip(gs, ws):
+            assert g.class_id == w.class_id
+            assert abs(g.score - w.score) < 1e-6
+
+
 def test_int8_plan_on_v8(sd):
     """quant.py treats [yolov8] heads like [yolo]: the v8 head convs and
     their feeding blobs stay float in the int8 plan, and the calibrated
