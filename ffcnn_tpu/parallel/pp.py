@@ -34,9 +34,19 @@ S+M-1 = 7 / 11 / 19 (and nowhere near the S*M serial alternative), with
 the theoretical bubble fractions 3/7, 3/11, 3/19 amortizing as M grows.
 On that sim mesh PP (S=4, data=2, M=8) actually edged out pure DP-8 at
 equal images/step (11.4 vs 9.9 img/s) — host cache effects favor the
-smaller per-stage programs; on real TPU DP remains the expected winner
-for darknet-scale models (no bubble, no wire traffic, and DP runs the
-fused-Pallas + int8 single-chip program which PP stage bodies don't).
+smaller per-stage programs.
+
+Real-chip stage-body truth (tools/pp_stage_device.py, TPU v5e, 320x320,
+mb=32, S=4, fori_loop-chained, 2026-08-19): per-stage ticks
+3.54 / 2.13 / 1.83 / 4.42 ms, sum 11.92 ms vs the UNCUT same-path f32
+monolith 4.72 ms — **+152% cut overhead** from boundary-blob
+materialization + wire pack/unpack alone (ppermute wire time excluded;
+the stage-0 cut ships 32.8 MB per microbatch), and the production
+fast-mode program runs the same 32 images in 2.15 ms device time
+(PERF_NOTES "Latency ladder").  So on real TPU, DP is the deployment
+default by ~5.5x for darknet-scale models (no bubble, no wire traffic,
+and DP runs the fused-Pallas bf16 single-chip program which PP stage
+bodies don't) — now measured, not inferred.
 PP exists for graphs whose per-stage footprint or latency budget exceeds
 one chip, and it composes with DP on a (data, pipe) mesh — the
 microbatch dim shards over ``data`` while stages split over ``pipe``.
