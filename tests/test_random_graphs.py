@@ -17,9 +17,14 @@ ACTS = ("linear", "leaky", "relu", "mish")
 
 
 def _gen_cfg(rng: np.random.RandomState, acts=ACTS,
-             c_safe: bool = False) -> str:
+             c_safe: bool = False, head: str = "yolo") -> str:
     """Random valid darknet graph: conv (dense/depthwise/strided), pools,
     upsample, dropout, shortcut, route, one yolo head.
+
+    ``head='yolov8'`` emits the anchor-free [yolov8] extension head
+    instead (random reg_max, DFL decode path) — pure-v8 graphs skip the
+    bbox arena and exercise ops/yolo.py::decode_head_v8 on arbitrary
+    backbones, not just the curated v8n lowering.
 
     ``c_safe``: keep the graph runnable by the C REFERENCE binary too
     (tests/test_c_differential.py): route/shortcut never reference either
@@ -110,13 +115,79 @@ def _gen_cfg(rng: np.random.RandomState, acts=ACTS,
         shapes.append((h, w, c))
 
     classes = 2
-    lines += ["[convolutional]", f"filters={3 * (5 + classes)}", "size=1",
-              "stride=1", "pad=0", "activation=linear", ""]
-    shapes.append((h, w, 3 * (5 + classes)))
-    lines += ["[yolo]", "mask = 0,1,2",
-              "anchors = 8,8, 16,16, 28,28, 40,40, 52,52, 60,60",
-              f"classes={classes}", "ignore_thresh = .35", ""]
+    if head == "yolov8":
+        rm = int(rng.choice([4, 8, 16]))
+        lines += ["[convolutional]", f"filters={4 * rm + classes}",
+                  "size=1", "stride=1", "pad=0", "activation=linear", ""]
+        shapes.append((h, w, 4 * rm + classes))
+        lines += ["[yolov8]", f"classes={classes}", f"reg_max={rm}",
+                  f"stride={SIZE // h}", "conf=0.45", ""]
+    else:
+        lines += ["[convolutional]", f"filters={3 * (5 + classes)}",
+                  "size=1", "stride=1", "pad=0", "activation=linear", ""]
+        shapes.append((h, w, 3 * (5 + classes)))
+        lines += ["[yolo]", "mask = 0,1,2",
+                  "anchors = 8,8, 16,16, 28,28, 40,40, 52,52, 60,60",
+                  f"classes={classes}", "ignore_thresh = .35", ""]
     return "\n".join(lines)
+
+
+def _jax_candidates_v8(ir, params, img, size):
+    """Pre-NMS candidates from the jitted pipeline for a pure-v8 graph
+    (decode_head_v8; no bbox arena — it is a reference-format quirk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffcnn_tpu.darknet.ir import LayerType
+    from ffcnn_tpu.graph.build import forward_features, params_to_pytree
+    from ffcnn_tpu.ops.preprocess import letterbox
+    from ffcnn_tpu.ops.yolo import concat_heads, decode_head_v8
+
+    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLOV8]
+
+    def fn(p, im):
+        x = letterbox(im, size, size, jnp.zeros(3, jnp.float32),
+                      jnp.full(3, 1 / 255.0, jnp.float32),
+                      dtype=jnp.float32)
+        feats = forward_features(ir, p, x,
+                                 precision=jax.lax.Precision.HIGHEST)
+        return concat_heads([decode_head_v8(f, l, size, size)
+                             for f, l in zip(feats, heads_meta)])
+
+    d = jax.jit(fn)(params_to_pytree(params), jnp.asarray(img[None]))
+    scores = np.asarray(d.scores)[0]
+    boxes = np.asarray(d.boxes)[0]
+    classes = np.asarray(d.classes)[0]
+    return [(int(classes[i]), float(scores[i]), *map(float, boxes[i]))
+            for i in np.nonzero(scores > 0)[0]]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_graph_oracle_parity_v8(seed):
+    """decode_head_v8 differential on random backbones (random reg_max,
+    random spatial stride): jit vs the NumPy oracle, candidate stream."""
+    rng = np.random.RandomState(2000 + seed)
+    cfg = _gen_cfg(rng, head="yolov8")
+    ir = parse_cfg(cfg, is_path=False)
+    params, _ = load_weights(ir, synth_weights_bytes(ir, seed=seed))
+    img = rng.randint(0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+
+    x, _, _ = numpy_ref.letterbox(img, SIZE, SIZE, (0.0,) * 3,
+                                  (1 / 255.0,) * 3)
+    want = numpy_ref.net_candidates(ir, params, x)
+    assert want, f"vacuous comparison (no candidates)\n{cfg}"
+    got = _jax_candidates_v8(ir, params, img, SIZE)
+
+    thresh = max(l.ignore_thres for l in ir.layers
+                 if l.type.name == "YOLOV8")
+    if len(want) != len(got):
+        keep = lambda lst: [cd for cd in lst if cd[1] > thresh + 1e-4]
+        want, got = keep(want), keep(got)
+    assert len(want) == len(got), cfg
+    for g, w_ in zip(got, want):
+        assert g[0] == w_[0], cfg
+        np.testing.assert_allclose(g[1:], w_[1:], rtol=1e-3, atol=1e-3,
+                                   err_msg=cfg)
 
 
 @pytest.mark.parametrize("seed", range(8))
