@@ -247,8 +247,6 @@ def latency_batch1():
     time from a profiler trace).  Wall includes the ~30 ms axon-tunnel RTT,
     which is an artifact of this environment, so the device number is the
     honest on-chip latency (VERDICT r1 weak-4)."""
-    import glob
-    import gzip
     import tempfile
 
     import jax
@@ -271,19 +269,11 @@ def latency_batch1():
         for _ in range(20):
             r = net.detect_device(img)
         jax.block_until_ready(r)
-    path = glob.glob(os.path.join(tmp, "plugins/profile/*/*.trace.json.gz"))
-    dev_ms = float("nan")
-    if path:
-        data = json.load(gzip.open(path[0]))
-        ev = data["traceEvents"]
-        pids = {e["pid"]: e["args"].get("name", "") for e in ev
-                if e.get("ph") == "M" and e.get("name") == "process_name"}
-        dev = {p for p, n in pids.items()
-               if "TPU" in n or n.startswith("/device:")}
-        tot = sum(e.get("dur", 0) for e in ev
-                  if e.get("ph") == "X" and e.get("pid") in dev
-                  and not e["name"].startswith("jit_"))
-        dev_ms = tot / 20 / 1000.0
+    try:
+        from ffcnn_tpu.profiling import device_op_time_ms
+        dev_ms = device_op_time_ms(tmp, 20)   # all shards, shared parser
+    except RuntimeError:
+        dev_ms = float("nan")
     return times[len(times) // 2] * 1000, dev_ms
 
 

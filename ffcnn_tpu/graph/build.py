@@ -57,6 +57,19 @@ def fold_input_transform(ir: NetIR, params: Dict, mean, norm) -> Dict:
     return out
 
 
+def stage_layer_set(ir: NetIR, stages_csv: str) -> frozenset:
+    """FFCNN_F32_STAGES value (e.g. '160' or '160,80') → the conv/shortcut
+    layer indices whose OUTPUT blob has one of those spatial widths: the
+    stage-local f32 forcing set (VERDICT r4 #2 bisection).  ONE shared
+    implementation for the pipeline builder, memory_stats, and the
+    bisection tool, so the traced plan and its mirrors cannot drift."""
+    widths = {int(s) for s in str(stages_csv).split(",") if s.strip()}
+    return frozenset(
+        li for li, l in enumerate(ir.layers)
+        if ir.blobs[li + 1].w in widths
+        and l.type in (LayerType.CONV, LayerType.SHORTCUT))
+
+
 def head_chain_layers(ir: NetIR) -> frozenset:
     """Layer indices of every linear conv chain feeding a YOLO head: from
     each yolo layer walk back over convs whose output has that single

@@ -44,7 +44,6 @@ from .ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
 DEFAULT_MEAN = (0.0, 0.0, 0.0)
 DEFAULT_NORM = (1 / 255.0, 1 / 255.0, 1 / 255.0)
 NMS_THRESHOLD = 0.5          # hardcoded in the reference (ffcnn.c:519)
-V8_NMS_THRESHOLD = 0.7       # YOLOv8 head graphs: public default IoU
 
 # Env flags read at TRACE time (here or in ops/kernels).  Their current
 # RESOLVED values (env > tuned-defaults file > code default; tuning.py)
@@ -291,10 +290,8 @@ class Net:
         stages = get_flag("FFCNN_F32_STAGES", "") \
             if self.mode != "parity" else ""
         if stages:
-            widths = {int(s) for s in stages.split(",") if s.strip()}
-            sset = {li for li, l in enumerate(self.ir.layers)
-                    if self.ir.blobs[li + 1].w in widths
-                    and l.type in (LayerType.CONV, LayerType.SHORTCUT)}
+            from .graph.build import stage_layer_set
+            sset = stage_layer_set(self.ir, stages)
             runs = [r for r in runs
                     if not any(li in sset
                                for li in range(r.start, r.end + 1))]
@@ -533,10 +530,8 @@ class Net:
             stages = get_flag("FFCNN_F32_STAGES", "") \
                 if self.mode != "parity" else ""
             if stages:
-                widths = {int(s) for s in stages.split(",") if s.strip()}
-                sset = {li for li, l in enumerate(ir.layers)
-                        if ir.blobs[li + 1].w in widths
-                        and l.type in (LayerType.CONV, LayerType.SHORTCUT)}
+                from .graph.build import stage_layer_set
+                sset = stage_layer_set(ir, stages)
                 f32set = frozenset(sset | set(f32set or ()))
                 runs = [r for r in (runs or [])
                         if not any(li in f32set
@@ -569,8 +564,8 @@ class Net:
                 nms_thr, nms_kind = NMS_THRESHOLD, "min"
             else:
                 # pure-v8 graph: standard union-IoU, public default 0.7
-                nms_thr = float(get_flag("FFCNN_V8_NMS_IOU",
-                                         str(V8_NMS_THRESHOLD)))
+                from .ops.nms import v8_nms_threshold
+                nms_thr = v8_nms_threshold()
                 nms_kind = "union"
             return nms(decoded.boxes, decoded.scores, decoded.classes,
                        k=topk, threshold=nms_thr,

@@ -56,6 +56,18 @@ def _iou_min(box, others, kind: str = "min"):
     return inter / jnp.minimum(a1[..., None], a2)
 
 
+NMS_THRESHOLD_DEFAULT = 0.5  # the reference's hardcoded value (ffcnn.c:519)
+V8_NMS_THRESHOLD = 0.7     # pure-YOLOv8 graphs: public default IoU
+
+
+def v8_nms_threshold() -> float:
+    """The union-IoU threshold for pure-v8 graphs (env/tuned-overridable
+    via FFCNN_V8_NMS_IOU) — ONE policy shared by the single-chip (net.py),
+    DP and PP pipelines so they cannot drift apart."""
+    from ..tuning import get_flag
+    return float(get_flag("FFCNN_V8_NMS_IOU", str(V8_NMS_THRESHOLD)))
+
+
 def _keep_mask_scan(top_boxes, top_scores, top_classes, k, threshold,
                     iou_kind="min"):
     """Greedy scan as a fori_loop of XLA programs (portable, K dispatches)."""

@@ -281,7 +281,7 @@ def net_forward(ir: NetIR, params: Dict[int, FoldedConvParams],
     (class, score, x1, y1, x2, y2) in original-image coords.  Mirrors
     net_forward's sequential dispatch (ffcnn.c:476-520).  Pure-v8 graphs
     use the standard union-IoU NMS at 0.7 (the public default the product
-    pipeline mirrors, net.py V8_NMS_THRESHOLD); reference graphs keep the
+    pipeline mirrors, ops/nms.py V8_NMS_THRESHOLD); reference graphs keep the
     min-IoU 0.5 quirk (ffcnn.c:316,519)."""
     v8_only = (ir.layers and not any(l.type == LayerType.YOLO
                                      for l in ir.layers)

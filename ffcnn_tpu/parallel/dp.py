@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..darknet.ir import LayerType, NetIR
 from ..graph.build import forward_features
-from ..ops.nms import nms
+from ..ops.nms import NMS_THRESHOLD_DEFAULT, nms, v8_nms_threshold
 from ..ops.preprocess import letterbox, letterbox_params
 from ..ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
                         decode_head, decode_head_v8)
@@ -29,7 +29,7 @@ from .mesh import (DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS, activation_sharding,
 
 def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
                            dtype=jnp.bfloat16, precision=None, topk: int = 128,
-                           nms_threshold: float = 0.5,
+                           nms_threshold: float = None,
                            shard_filters: bool = False, quant=None):
     """Return a jitted ``(params, uint8 batch, mean, norm) -> NMSResult``
     with the batch sharded over the mesh data axis.
@@ -52,6 +52,13 @@ def build_sharded_pipeline(ir: NetIR, mesh: Mesh, img_h: int, img_w: int, *,
     _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
     heads_meta = [l for l in ir.layers
                   if l.type in (LayerType.YOLO, LayerType.YOLOV8)]
+    if nms_threshold is None:
+        # the same threshold policy net.py applies (0.5 min-IoU quirk for
+        # reference-format graphs, FFCNN_V8_NMS_IOU union default 0.7 for
+        # pure-v8 graphs) so DP detections never drift from single-chip
+        nms_threshold = NMS_THRESHOLD_DEFAULT \
+            if any(l.type == LayerType.YOLO for l in heads_meta) \
+            else v8_nms_threshold()
 
     bshard = batch_sharding(mesh)
     ashard = activation_sharding(mesh)

@@ -69,7 +69,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..darknet.ir import LayerType, NetIR
 from ..graph.build import forward_features
-from ..ops.nms import nms
+from ..ops.nms import NMS_THRESHOLD_DEFAULT, nms, v8_nms_threshold
 from ..ops.preprocess import letterbox, letterbox_params
 from ..ops.yolo import (apply_arena_cap, arena_capacity, concat_heads,
                         decode_head, decode_head_v8)
@@ -196,7 +196,7 @@ def _unpack(buf: jnp.ndarray, order: Sequence[int], ir: NetIR, mb: int,
 def build_pp_pipeline(ir: NetIR, params, mesh: Mesh, img_h: int, img_w: int,
                       *, n_microbatches: int, dtype=jnp.float32,
                       precision=None, topk: int = 128,
-                      nms_threshold: float = 0.5,
+                      nms_threshold: float = None,
                       mean=(0.0, 0.0, 0.0),
                       norm=(1 / 255.0, 1 / 255.0, 1 / 255.0),
                       stages: Optional[List[Stage]] = None):
@@ -215,6 +215,13 @@ def build_pp_pipeline(ir: NetIR, params, mesh: Mesh, img_h: int, img_w: int,
     _, _, s1, s2 = letterbox_params(img_w, img_h, net_w, net_h)
     heads_meta = [l for l in ir.layers
                   if l.type in (LayerType.YOLO, LayerType.YOLOV8)]
+    if nms_threshold is None:
+        # same policy as net.py / dp.py: the 0.5 min-IoU reference quirk
+        # for darknet-head graphs, FFCNN_V8_NMS_IOU (default 0.7, union)
+        # for pure-v8 graphs
+        nms_threshold = NMS_THRESHOLD_DEFAULT \
+            if any(l.type == LayerType.YOLO for l in heads_meta) \
+            else v8_nms_threshold()
     if stages is None:
         stages = plan_stages(ir, S, dtype="f32" if dtype == jnp.float32
                              else "bf16")

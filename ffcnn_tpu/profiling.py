@@ -96,24 +96,50 @@ def _layer_desc(ir: NetIR, li: int) -> str:
 def _load_trace_events(trace_dir: str):
     """All traceEvents across every shard the profiler emitted.  JAX can
     write multiple *.trace.json.gz files per session (one per host/plugin);
-    reading only the first silently under-counts device time (ADVICE r4)."""
+    reading only the first silently under-counts device time (ADVICE r4).
+    pids are a PER-FILE namespace in the Chrome trace format, so each
+    event's pid is remapped to (shard_index, pid) before merging —
+    otherwise a device pid in one shard can collide with a host pid in
+    another and the merged pid→process_name map misclassifies whole
+    tracks (r5 review)."""
     paths = glob.glob(os.path.join(trace_dir,
                                    "plugins/profile/*/*.trace.json.gz"))
     if not paths:
         raise RuntimeError("profiler produced no trace")
     ev = []
-    for p in sorted(paths):
+    for i, p in enumerate(sorted(paths)):
         with gzip.open(p) as f:
-            ev.extend(json.load(f)["traceEvents"])
+            for e in json.load(f)["traceEvents"]:
+                if "pid" in e:
+                    e["pid"] = (i, e["pid"])
+                ev.append(e)
     return ev
+
+
+def _device_pids(ev):
+    """The (shard, pid) keys belonging to device tracks."""
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    return {p for p, n in pids.items()
+            if "TPU" in n or n.startswith("/device:")}
+
+
+def device_op_time_ms(trace_dir: str, iters: int = 1) -> float:
+    """Total device op time per iteration (ms) across all trace shards,
+    ``jit_`` parent spans excluded — the one shared implementation behind
+    bench.py's batch-1 latency and tools/latency_ladder.py (r5 review:
+    keep the parsing in one place)."""
+    ev = _load_trace_events(trace_dir)
+    dev = _device_pids(ev)
+    tot = sum(e.get("dur", 0) for e in ev
+              if e.get("ph") == "X" and e.get("pid") in dev
+              and not e["name"].startswith("jit_"))
+    return tot / iters / 1000.0
 
 
 def _parse_trace(trace_dir: str, iters: int) -> Tuple[Dict[int, float], float]:
     ev = _load_trace_events(trace_dir)
-    pids = {e["pid"]: e["args"].get("name", "") for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = {p for p, n in pids.items()
-           if "TPU" in n or n.startswith("/device:")}
+    dev = _device_pids(ev)
     agg: Dict[int, float] = collections.Counter()
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in dev:
@@ -135,10 +161,7 @@ def trace_occupancy(trace_dir: str) -> Dict[str, float]:
     a depth-2 ``detect_stream`` actually keep the chip busier than the
     serial loop?).  Returns ``{busy_ms, span_ms, occupancy}``."""
     ev = _load_trace_events(trace_dir)
-    pids = {e["pid"]: e["args"].get("name", "") for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = {p for p, n in pids.items()
-           if "TPU" in n or n.startswith("/device:")}
+    dev = _device_pids(ev)
     iv = sorted((e["ts"], e["ts"] + e["dur"]) for e in ev
                 if e.get("ph") == "X" and e.get("pid") in dev
                 and e.get("dur") and not e["name"].startswith("jit_"))

@@ -69,21 +69,41 @@ class QuantPlan:
         return float(s) if np.ndim(s) == 0 else None
 
 
+def _head_protect(ir: NetIR):
+    """(blob indices, conv layer indices) that feed a head DECODE and must
+    stay float: the last two hops before decode are precision-critical
+    (argmax flips there create spurious boxes — measured on the golden
+    image).  For a darknet [yolo] head the producer is the head conv
+    itself; a [yolov8] head consumes the route CONCAT of its box/cls 1x1
+    convs, so the protection must follow the route's sources one hop back
+    (otherwise the DFL box logits get quantized to 127 levels while only
+    the concat blob is protected)."""
+    blobs, convs = set(), set()
+    for l in ir.layers:
+        if l.type not in (LayerType.YOLO, LayerType.YOLOV8):
+            continue
+        hi = l.index
+        blobs.add(hi)                          # the decode input blob
+        prod = ir.layers[hi - 1]
+        srcs = list(prod.depends) if prod.type == LayerType.ROUTE \
+            else [hi - 1]
+        for s in srcs:
+            blobs.add(s + 1)                   # source's output blob
+            if ir.layers[s].type == LayerType.CONV:
+                convs.add(s)                   # float weights
+                blobs.add(s)                   # its input blob too
+    return blobs, convs
+
+
 def _int8_blobs(ir: NetIR, min_channels: int,
                 exclude: Optional[set] = None) -> List[int]:
     """Blob indices eligible for int8 storage.  Excludes the net input
-    (uint8 pixels), YOLO head inputs (decode precision), and small-C blobs
-    (int8 (32,128) tiling inflates them)."""
-    head_inputs = {l.index for l in ir.layers
-                   if l.type in (LayerType.YOLO, LayerType.YOLOV8)}
-    # also keep the blob FEEDING each head conv in float: the last two hops
-    # before decode are precision-critical (argmax flips there create
-    # spurious boxes — measured on the golden image)
-    head_conv_inputs = {l.index - 1 for l in ir.layers
-                        if l.type in (LayerType.YOLO, LayerType.YOLOV8)}
+    (uint8 pixels), head-decode feeding blobs (_head_protect), and
+    small-C blobs (int8 (32,128) tiling inflates them)."""
+    protected, _ = _head_protect(ir)
     out = []
     for bi in range(1, len(ir.blobs)):
-        if bi in head_inputs or bi in head_conv_inputs:
+        if bi in protected:
             continue
         if exclude and bi in exclude:
             continue                     # e.g. fused-run blobs (float path)
@@ -186,18 +206,19 @@ def build_plan(ir: NetIR, params, absmax,
             blob_scale[bi] = (amax / 127.0) if amax > 0 else 1.0
 
     weights: Dict[int, dict] = {}
+    _, head_convs = _head_protect(ir)
     for li, l in enumerate(ir.layers):
         if l.type != LayerType.CONV:
             continue
         if li not in blob_scale:
             continue      # input blob (index li) is float: conv stays float
-        if li + 1 < len(ir.layers) and ir.layers[li + 1].type in (
-                LayerType.YOLO, LayerType.YOLOV8):
-            # Head convs keep float weights: their outputs feed the decode
-            # formulas directly and per-class argmax flips under weight
-            # quantization produce spurious boxes (measured on the golden
-            # image).  Their int8 INPUT is dequantized instead — the cast
-            # fuses into the conv.
+        if li in head_convs:
+            # Head convs keep float weights (incl. the v8 box/cls 1x1
+            # convs behind the concat route, _head_protect): their outputs
+            # feed the decode formulas directly and per-class argmax flips
+            # under weight quantization produce spurious boxes (measured
+            # on the golden image).  An int8 INPUT is dequantized instead
+            # — the cast fuses into the conv.
             continue
         p = params[li]
         w = np.asarray(p["weights"] if isinstance(p, dict) else p.weights,

@@ -178,14 +178,20 @@ def v8_small(sd):
     return ir, params_to_pytree(raw)
 
 
-def _v8_reference(ir, params, images, topk=64, thr=0.5):
+def _v8_reference(ir, params, images, topk=64, thr=None):
     """Single-device f32 pixels-to-boxes mirror of what dp.py/pp.py's
-    last stage does for pure-v8 graphs (decode_head_v8 + union-IoU)."""
+    last stage does for pure-v8 graphs (decode_head_v8 + union-IoU at
+    the shared v8_nms_threshold policy — the r5 review caught DP/PP
+    silently keeping the darknet 0.5 while net.py used 0.7)."""
     import jax
     import jax.numpy as jnp
 
     from ffcnn_tpu.graph.build import forward_features
     from ffcnn_tpu.ops.nms import nms as jnms
+    from ffcnn_tpu.ops.nms import v8_nms_threshold
+
+    if thr is None:
+        thr = v8_nms_threshold()
     from ffcnn_tpu.ops.preprocess import letterbox, letterbox_params
     from ffcnn_tpu.ops.yolo import concat_heads, decode_head_v8
 
@@ -321,10 +327,18 @@ def test_int8_plan_on_v8(sd):
            * 255).astype(np.uint8)
     net.calibrate(img[None])
     assert net.quant is not None
-    head_feed = {l.index for l in net.ir.layers if l.type == LT.YOLOV8}
-    # no head-input blob may be int8-stored, and the convs producing the
-    # head inputs keep float weights
-    assert not (set(net.quant.blob_scale) & head_feed)
-    assert not (set(net.quant.weights) & {li - 1 for li in head_feed})
+    from ffcnn_tpu.quant import _head_protect
+    blobs, convs = _head_protect(net.ir)
+    # the protection must reach THROUGH the box|cls concat route to the
+    # actual 1x1 box/cls convs (2 per scale x 3 scales), and none of the
+    # decode-feeding blobs may be int8-stored nor those convs
+    # weight-quantized (the r5 review found the old one-hop rule guarded
+    # the route, not the convs)
+    assert len(convs) == 6
+    assert all(net.ir.layers[li].type == LT.CONV for li in convs)
+    assert not (set(net.quant.weights) & convs)
+    assert not (set(net.quant.blob_scale) & blobs)
+    # sanity: the plan still quantizes SOMETHING (backbone blobs/convs)
+    assert net.quant.weights and net.quant.blob_scale
     dets = net.detect(img)
     assert isinstance(dets, list)

@@ -17,8 +17,6 @@ when the SLA is per-frame latency rather than throughput.
     /opt/venv/bin/python tools/latency_ladder.py [--mode fast]
 """
 import argparse
-import glob
-import gzip
 import json
 import os
 import sys
@@ -35,28 +33,18 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures")
 
 
 def device_ms_per_step(net, img, iters=20):
-    """Device time per dispatch from a profiler trace (all shards merged,
-    jit_ parent spans excluded — same parsing as ffcnn_tpu.profiling)."""
+    """Device time per dispatch from a profiler trace — delegates the
+    shard-merge + device-pid parsing to ffcnn_tpu.profiling (one shared
+    implementation; r5 review)."""
     import jax
+
+    from ffcnn_tpu.profiling import device_op_time_ms
     tmp = tempfile.mkdtemp(prefix="lat_ladder_")
     with jax.profiler.trace(tmp):
         for _ in range(iters):
             r = net.detect_device(img)
         jax.block_until_ready(r)
-    paths = glob.glob(os.path.join(tmp,
-                                   "plugins/profile/*/*.trace.json.gz"))
-    ev = []
-    for p in sorted(paths):
-        with gzip.open(p) as f:
-            ev.extend(json.load(f)["traceEvents"])
-    pids = {e["pid"]: e["args"].get("name", "") for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = {p for p, n in pids.items()
-           if "TPU" in n or n.startswith("/device:")}
-    tot = sum(e.get("dur", 0) for e in ev
-              if e.get("ph") == "X" and e.get("pid") in dev
-              and not e["name"].startswith("jit_"))
-    return tot / iters / 1000.0
+    return device_op_time_ms(tmp, iters)
 
 
 def main(argv=None) -> int:

@@ -49,10 +49,10 @@ open("/tmp/v8n_320.cfg", "w").write(cfg)
 open("/tmp/v8n_320.weights", "wb").write(w)
 print("v8n files written")
 EOF
-timeout 3600 $PY -m ffcnn_tpu.cli bench --batch 256 --size 320 \
+timeout 3600 $PY -m ffcnn_tpu.cli bench --mode fast --batch 256 --size 320 \
     --cfg /tmp/v8n_320.cfg --weights /tmp/v8n_320.weights \
     > $OUT/v8n_bench.log 2>&1
-timeout 3600 $PY -m ffcnn_tpu.cli bench --batch 64 --size 320 \
+timeout 3600 $PY -m ffcnn_tpu.cli bench --mode fast --batch 64 --size 320 \
     --cfg /tmp/v8n_320.cfg --weights /tmp/v8n_320.weights \
     >> $OUT/v8n_bench.log 2>&1
 
