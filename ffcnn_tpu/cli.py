@@ -104,13 +104,19 @@ def cmd_bench(args) -> int:
         placed = place(params)
         mean = jnp.zeros(3, jnp.float32)
         norm = jnp.full(3, 1 / 255.0, jnp.float32)
-        run = lambda: fn(placed, jnp.asarray(batch), mean, norm)
+        bj = jnp.asarray(batch)
+        run = lambda: fn(placed, bj, mean, norm)
         label = "mesh %s" % dict(mesh.shape)
     else:
         from . import Net
         net = Net.load(args.cfg, args.weights, args.size, args.size,
                        mode=args.mode)
-        run = lambda: net.detect_device(batch)
+        # Device-resident input: re-uploading the numpy batch per iteration
+        # measures the axon tunnel (~30 ms RTT, 78 MB/batch-256), not the
+        # chip — a v8n "74 img/s" artifact in the r5c queue.  Host-input
+        # throughput is tools/bench_stream.py's job.
+        bj = jnp.asarray(batch)
+        run = lambda: net.detect_device(bj)
         label = args.mode
     res = run()
     jax.block_until_ready(res)
