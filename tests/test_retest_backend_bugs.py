@@ -26,6 +26,7 @@ def test_probe_registry_lists_all_recorded_bugs():
         "while_dot_general_wedge",
         "minc8_aot_death",
         "vmem_160_full_block",
+        "dwonly_2d_gather",
         "reduce_bitcast_fusion_livelock",
         "reduce_broadcast_fusion_livelock",
     ]

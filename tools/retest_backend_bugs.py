@@ -153,6 +153,30 @@ except Exception as e:
     print("PROBE_BROKEN: %s: %s" % (tag, msg[:160]))
 """
 
+DWONLY_GATHER = r"""
+import sys
+sys.path.insert(0, {REPO})
+sys.path.insert(0, {REPO} + "/tools")
+import numpy as np, jax, jax.numpy as jnp
+import bisect_smallc as bs
+label, H, W, C, E = bs.GEOMS[3]                    # 20x20/C24/E136
+shapes = [(E, C), (E, 1), (E, 1), (3, 3, E), (E, 1), (E, 1),
+          (C, E), (C, 1), (C, 1)]
+rng = np.random.RandomState(0)
+p9 = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1) for s in shapes]
+step = bs.variant_step("dwonly", H, W, 8, C, E, p9, jnp.bfloat16)
+x = jnp.zeros((H, C, W * 8), jnp.bfloat16)
+try:
+    y = jax.jit(step)(x)
+    jax.block_until_ready(y)
+    print("PROBE_FIXED")
+except Exception as e:
+    msg = str(e)
+    tag = ("Mosaic 2D-gather limit" if "gather" in msg.lower()
+           else type(e).__name__)
+    print("PROBE_BROKEN: %s: %s" % (tag, msg[:160]))
+"""
+
 REDUCE_BITCAST = r"""
 import jax, jax.numpy as jnp
 from jax import lax
@@ -213,6 +237,10 @@ PROBES = [
     ("vmem_160_full_block", "device", 420, _fill(VMEM_160_FULL),
      "160x160/C8 full fused block exceeds the 100MB scoped-VMEM limit "
      "(needs in-kernel row chunking)"),
+    ("dwonly_2d_gather", "device", 300, _fill(DWONLY_GATHER),
+     "Mosaic rejects the standalone dw-tap kernel ('Only 2D gather is "
+     "supported') — the small-C bisect's dwonly leg is attributed by "
+     "subtraction (full - pwonly) until this lowers"),
     ("reduce_bitcast_fusion_livelock", "wedge", 90, REDUCE_BITCAST,
      "last-axis reduce fused with u16 bitcast+shift LIVELOCKS the chip"),
     ("reduce_broadcast_fusion_livelock", "wedge", 90, REDUCE_BROADCAST,
