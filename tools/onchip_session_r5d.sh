@@ -40,4 +40,10 @@ timeout 3600 $PY -m ffcnn_tpu.cli bench --mode parity --batch 256 --size 320 \
     --cfg /tmp/v8n_320.cfg --weights /tmp/v8n_320.weights \
     >> $OUT/v8n_bench.log 2>&1
 
+# c. v8 cross-backend numeric differential (CPU vs device, pre-NMS
+#    candidate tensor in fixed grid order — the device-side validation
+#    the C binary can't provide for [yolov8] graphs)
+timeout 3600 $PY tools/v8_device_check.py --out $OUT/v8chk \
+    > $OUT/v8_device_check.json 2>$OUT/v8_device_check.err
+
 echo DONE
