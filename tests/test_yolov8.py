@@ -342,3 +342,44 @@ def test_int8_plan_on_v8(sd):
     assert net.quant.weights and net.quant.blob_scale
     dets = net.detect(img)
     assert isinstance(dets, list)
+
+
+def test_serving_pure_v8(sd, tmp_path):
+    """The HTTP serving surface works unchanged for pure-v8 graphs: the
+    DetectorService/MicroBatcher path has no bbox-arena or [yolo]-head
+    assumption (pure-v8 nets skip the arena quirk and use union-IoU
+    NMS), and /detect responses match net.detect bit-for-bit."""
+    import json
+    import threading
+    import urllib.request
+
+    from ffcnn_tpu.imageio.bmp import bmp_save
+    from ffcnn_tpu.serve import DetectorService, make_server
+
+    cfg, wbytes = yolov8.convert(sd, NC, SCALE, size=64, conf=0.05)
+    ir = parse_cfg(cfg, is_path=False)
+    raw, _ = load_weights(ir, wbytes)
+    net = Net(ir, raw, mode="parity")
+    service = DetectorService(net, max_batch=1)
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        service.warmup()
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        p = str(tmp_path / "in.bmp")
+        bmp_save(p, img)
+        with open(p, "rb") as f:
+            raw_bmp = f.read()
+        url = "http://127.0.0.1:%d/detect" % srv.server_address[1]
+        req = urllib.request.Request(url, data=raw_bmp, method="POST")
+        body = json.loads(urllib.request.urlopen(req).read())
+        dets = body["detections"]
+        want = net.detect(img)
+        assert len(dets) == len(want)
+        for d, w in zip(dets, want):
+            assert d["class_id"] == w.class_id
+            assert abs(d["score"] - w.score) < 1e-3
+    finally:
+        srv.shutdown()
