@@ -23,8 +23,11 @@ GOLDEN = [(0, 1.00, (188, 96, 273, 365)),
 
 @pytest.fixture(autouse=True)
 def _fresh_flags(monkeypatch):
-    # isolate from any tuned_defaults.json the repo ships
+    # isolate from any tuned_defaults.json the repo ships AND from an
+    # operator's exported opt-in (docs/DEPLOY.md documents
+    # FFCNN_PARITY_PRECISION=high; the suite must stay green under it)
     monkeypatch.setenv("FFCNN_TUNED_DEFAULTS", "")
+    monkeypatch.delenv("FFCNN_PARITY_PRECISION", raising=False)
     invalidate()
     yield
     invalidate()

@@ -132,16 +132,18 @@ def _gen_cfg(rng: np.random.RandomState, acts=ACTS,
     return "\n".join(lines)
 
 
-def _jax_candidates_v8(ir, params, img, size):
-    """Pre-NMS candidates from the jitted pipeline for a pure-v8 graph
-    (decode_head_v8; no bbox arena — it is a reference-format quirk)."""
+def v8_candidates_fn(ir, size):
+    """The pure-v8 pre-NMS candidate program (letterbox → f32-HIGHEST
+    forward → decode_head_v8 → concat), shared between the oracle fuzz
+    here and the device differential (tools/v8_device_check.py) so both
+    instruments validate the SAME program."""
     import jax
     import jax.numpy as jnp
 
     from ffcnn_tpu.darknet.ir import LayerType
-    from ffcnn_tpu.graph.build import forward_features, params_to_pytree
     from ffcnn_tpu.ops.preprocess import letterbox
     from ffcnn_tpu.ops.yolo import concat_heads, decode_head_v8
+    from ffcnn_tpu.graph.build import forward_features
 
     heads_meta = [l for l in ir.layers if l.type == LayerType.YOLOV8]
 
@@ -154,6 +156,18 @@ def _jax_candidates_v8(ir, params, img, size):
         return concat_heads([decode_head_v8(f, l, size, size)
                              for f, l in zip(feats, heads_meta)])
 
+    return fn
+
+
+def _jax_candidates_v8(ir, params, img, size):
+    """Pre-NMS candidates from the jitted pipeline for a pure-v8 graph
+    (decode_head_v8; no bbox arena — it is a reference-format quirk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffcnn_tpu.graph.build import params_to_pytree
+
+    fn = v8_candidates_fn(ir, size)
     d = jax.jit(fn)(params_to_pytree(params), jnp.asarray(img[None]))
     scores = np.asarray(d.scores)[0]
     boxes = np.asarray(d.boxes)[0]

@@ -381,5 +381,8 @@ def test_serving_pure_v8(sd, tmp_path):
         for d, w in zip(dets, want):
             assert d["class_id"] == w.class_id
             assert abs(d["score"] - w.score) < 1e-3
+            got_box = [round(v, 2) for v in d["box"]]
+            want_box = [round(v, 2) for v in (w.x1, w.y1, w.x2, w.y2)]
+            assert got_box == want_box
     finally:
         srv.shutdown()

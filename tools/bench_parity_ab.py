@@ -31,6 +31,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The A/B must not be poisoned by a tuned-defaults entry for the knob:
+# if a future toolchain makes HIGH exact and apply_tuning folds it,
+# _net(None) would otherwise resolve 'high' from the tuned file
+# (env > tuned file > default) and this would silently run high-vs-high.
+os.environ["FFCNN_TUNED_DEFAULTS"] = ""
+
 import bench  # noqa: E402  — the ledger harness itself
 
 
@@ -45,12 +51,17 @@ def _net(precision):
 
 def _golden(net):
     """bench.py's parity criterion on the 320x320 fixture (classes +
-    int-cast boxes + printed scores exact)."""
+    int-cast boxes + printed scores exact).  Returns False on mismatch
+    (recorded in the JSON) rather than aborting the run."""
     from ffcnn_tpu.imageio.bmp import bmp_load
     bgr = bmp_load(os.path.join(bench.FIXTURES, "test320.bmp"))
     dets = net.detect(bgr)
-    bench._check_golden(
-        dets, os.path.join(bench.FIXTURES, "golden_boxes_320x320.txt"))
+    try:
+        bench._check_golden(
+            dets, os.path.join(bench.FIXTURES, "golden_boxes_320x320.txt"))
+    except AssertionError as e:
+        bench.log("golden mismatch: %r" % (e,))
+        return False
     return True
 
 

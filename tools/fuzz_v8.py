@@ -50,7 +50,9 @@ def run_seed(seed: int) -> dict:
     rec = {"seed": seed, "layers": len(ir.layers),
            "n_oracle": len(want), "n_jit": len(got)}
     if not want:
-        rec["status"] = "VACUOUS"
+        # vacuous only if the jit side is ALSO empty — jit-only
+        # candidates on an oracle-empty seed are a decode regression
+        rec["status"] = "VACUOUS" if not got else "JIT_ONLY_CANDIDATES"
         return rec
     thresh = max(l.ignore_thres for l in ir.layers
                  if l.type.name == "YOLOV8")

@@ -1,5 +1,5 @@
 #!/bin/sh
-# Round-5 session-4 on-chip queue.  Two legs, both follow-ups to r5c:
+# Round-5 session-4 on-chip queue.  Three legs, all follow-ups to r5c:
 #   a. same-window INTERLEAVED parity-precision A/B (bench_parity_ab.py)
 #      — the fold is already decided NO on exactness grounds (PERF_NOTES
 #      "Parity-precision knob"); this pins the +14.4% adjacent-window
@@ -7,6 +7,9 @@
 #   b. YOLOv8n informational throughput, re-run with the device-resident
 #      input fix (commit 70a8e9e) — the r5c leg measured per-iteration
 #      78 MB host uploads through the tunnel (74 img/s artifact).
+#   c. v8 cross-backend numeric differential (tools/v8_device_check.py):
+#      CPU-vs-device pre-NMS candidate tensors, the device-side
+#      validation the C binary can't provide for [yolov8] graphs.
 set -x
 PY=/opt/venv/bin/python
 OUT=/tmp/onchip_r5d

@@ -56,32 +56,26 @@ def run_arm(arm: str, out_npz: str) -> None:
     import jax
     if arm == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401  (backend init before helpers)
     import numpy as np
 
     from ffcnn_tpu import yolov8
     from ffcnn_tpu.darknet.cfg import parse_cfg
-    from ffcnn_tpu.darknet.ir import LayerType
     from ffcnn_tpu.darknet.weights import load_weights
-    from ffcnn_tpu.graph.build import forward_features, params_to_pytree
-    from ffcnn_tpu.ops.preprocess import letterbox
-    from ffcnn_tpu.ops.yolo import concat_heads, decode_head_v8
+    from ffcnn_tpu.graph.build import params_to_pytree
+
+    # ONE candidate program shared with the oracle fuzz
+    # (tests/test_random_graphs.py::v8_candidates_fn) — both
+    # differentials must validate the same pipeline.
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_random_graphs import v8_candidates_fn
 
     sd = yolov8.synthesize_state_dict(NC, SCALE, seed=0)
     cfg, weights = yolov8.convert(sd, NC, SCALE, size=SIZE, conf=0.25)
     ir = parse_cfg(cfg, is_path=False)
     params, _ = load_weights(ir, weights)
-    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLOV8]
 
-    def fn(p, im):
-        x = letterbox(im, SIZE, SIZE, jnp.zeros(3, jnp.float32),
-                      jnp.full(3, 1 / 255.0, jnp.float32),
-                      dtype=jnp.float32)
-        feats = forward_features(ir, p, x,
-                                 precision=jax.lax.Precision.HIGHEST)
-        return concat_heads([decode_head_v8(f, l, SIZE, SIZE)
-                             for f, l in zip(feats, heads_meta)])
-
+    fn = v8_candidates_fn(ir, SIZE)
     d = jax.jit(fn)(params_to_pytree(params), jnp.asarray(_images()))
     np.savez(out_npz,
              scores=np.asarray(d.scores, np.float32),
@@ -97,7 +91,14 @@ def main() -> int:
     ap.add_argument("--timeout", type=int, default=1800)
     args = ap.parse_args()
     if args.arm:
-        run_arm(args.arm, args.out)
+        # --out names the artifact DIRECTORY (same meaning as in the
+        # combined mode) unless an explicit .npz path is given, so a
+        # manually produced arm lands where the later diff run looks.
+        out = args.out
+        if not out.endswith(".npz"):
+            os.makedirs(out, exist_ok=True)
+            out = os.path.join(out, f"{args.arm}.npz")
+        run_arm(args.arm, out)
         return 0
 
     import numpy as np
