@@ -603,16 +603,50 @@ def diff_zoo(binary: str, work_dir: str, families=None,
 # shared pointer and SEGFAULT (ffcnn.c:412-416 aliasing + 511-517 frees;
 # minimal repro: conv, dropout, route[-2, 1]).
 
-def flagship_ok(res: DiffResult, variant: str = "v6") -> bool:
+def flagship_ok(res: DiffResult, variant: str = "v6",
+                excused=frozenset()) -> bool:
     """Real-weight corpus.  vs conv-v0: every image line-for-line exact.
-    vs conv-v6: counts+classes exact and all boxes fuzzy-matched (the
-    slack absorbs exactly the v6 dw5x5 bug's row-oh-2 perturbations),
-    >=70% of images line-exact."""
+    vs conv-v6: per image, counts+classes exact and all boxes
+    fuzzy-matched (the slack absorbs exactly the v6 dw5x5 bug's
+    row-oh-2 perturbations) — unless the image is in ``excused``
+    (v6_bug_excusals: the v6 bug changed the detection SET itself and
+    the v0 build sides with the TPU) — and >=70% of images line-exact."""
     if variant == "v0":
         return res.total > 0 and res.exact == res.total
-    return (res.total > 0 and res.max_count_skew == 0
-            and res.fuzzy_fraction == 1.0
-            and res.exact >= 0.7 * res.total)
+    if res.total == 0:
+        return False
+    for name, nc, nt, nm in res.images:
+        if name in excused:
+            continue
+        if nc != nt or nm < nc:
+            return False
+    return res.exact >= 0.7 * res.total
+
+
+def v6_bug_excusals(res: DiffResult, corpus,
+                    cfg: str = None, weights: str = None) -> set:
+    """Attribute v6-vs-TPU mismatches to the reference's OWN dw5x5 bug
+    (conv-v6.c:291-465 drops a tap row — models/README.md): a mismatched
+    image is excused iff the conv-v0 build (the reference's declared
+    correctness oracle, SURVEY §4) reproduces the TPU lines EXACTLY
+    there, i.e. the two reference builds disagree with each other and
+    the TPU side sits on the correct (v0) side.  First instance: the
+    wide tier's w_sq_two.bmp, where v6 materializes a spurious
+    0.94-score class-16 box (v0 = TPU = 3 boxes, v6 = 4) — the bug
+    changes the detection SET, not just coordinates."""
+    if not res.mismatches:
+        return set()
+    cfg = cfg or os.path.join(REFERENCE, "yolo-fastest-1.1.cfg")
+    weights = weights or os.path.join(REFERENCE, "yolo-fastest-1.1.weights")
+    by_name = {os.path.basename(p): p
+               for paths in corpus.values() for p in paths}
+    b0 = build_reference("v0")
+    excused = set()
+    for name, _c_lines, t_lines in res.mismatches:
+        path = by_name.get(name)
+        if path and run_c(b0, path, cfg, weights) == t_lines:
+            excused.add(name)
+    return excused
 
 
 # (min_set_equal_frac, min_fuzzy) per family and reference build.
@@ -725,10 +759,17 @@ def main(argv=None) -> int:
         binary = build_reference(variant)
         if not args.skip_flagship:
             res = diff_flagship(binary, corpus, mode=args.mode)
-            ok = flagship_ok(res, variant) if args.mode == "parity" else True
-            print(res.report(f"flagship[{args.mode}] vs {variant}",
+            excused = set()
+            if args.mode == "parity" and variant == "v6" and res.mismatches:
+                excused = v6_bug_excusals(res, corpus)
+            ok = (flagship_ok(res, variant, excused)
+                  if args.mode == "parity" else True)
+            rep = res.report(f"flagship[{args.mode}] vs {variant}",
                              args.verbose)
-                  + ("" if ok else "  <-- POLICY FAIL"))
+            if excused:
+                rep += ("\n  v6-bug excused (v0 build == TPU exactly): "
+                        + ", ".join(sorted(excused)))
+            print(rep + ("" if ok else "  <-- POLICY FAIL"))
             rc = rc if ok else 1
         if args.mode != "parity":
             continue                    # zoo policies are parity-calibrated
