@@ -170,3 +170,24 @@ def test_zoo_family_differential(c_binary, c_binary_v0, family, variant,
     res = results[family]
     assert cd.zoo_ok(family, res, variant), \
         "\n" + res.report(f"{family} vs {variant}", verbose=True)
+
+
+def test_flagship_ok_v6_excusal_logic():
+    """flagship_ok's excused-set semantics (v6_bug_excusals): a v6
+    count-skew image passes ONLY when excused (v0 == TPU there); the v0
+    policy ignores excusals and stays line-exact-everywhere."""
+    L = "score: 0.94, category: 16, rect: ( 10  10  50  50)"
+    M = "score: 0.97, category: 21, rect: ( 68 153 172 241)"
+    res = cd.DiffResult()
+    for i in range(3):                         # 3 exact images (75% >= 70%)
+        res.record(f"ok{i}.bmp", [M], [M])
+    res.record("skew.bmp", [M, L], [M])        # v6 grew an extra box
+    assert not cd.flagship_ok(res, "v6")
+    assert cd.flagship_ok(res, "v6", excused={"skew.bmp"})
+    assert not cd.flagship_ok(res, "v0", excused={"skew.bmp"})
+    # an excused image does not relax the >=70% line-exact floor
+    res2 = cd.DiffResult()
+    res2.record("ok.bmp", [M], [M])
+    res2.record("skew1.bmp", [M, L], [M])
+    res2.record("skew2.bmp", [M, L], [M])
+    assert not cd.flagship_ok(res2, "v6", excused={"skew1.bmp", "skew2.bmp"})
