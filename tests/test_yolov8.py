@@ -386,3 +386,24 @@ def test_serving_pure_v8(sd, tmp_path):
             assert got_box == want_box
     finally:
         srv.shutdown()
+
+
+def test_detect_stream_pure_v8(sd):
+    """BASELINE configs[4]'s 'streaming video batch' phrase on the v8
+    path: the pipelined detect_stream (depth-2 in-flight) yields the
+    same per-frame detections as serial detect() for a pure-v8 net."""
+    cfg, wbytes = yolov8.convert(sd, NC, SCALE, size=64, conf=0.05)
+    ir = parse_cfg(cfg, is_path=False)
+    raw, _ = load_weights(ir, wbytes)
+    net = Net(ir, raw, mode="parity")
+    rng = np.random.RandomState(11)
+    batches = [rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+               for _ in range(3)]
+    got = list(net.detect_stream(iter(batches), depth=2))
+    assert len(got) == 3
+    for b, frames in zip(batches, got):
+        want = net.detect(b)
+        assert len(frames) == len(want) == 2
+        for f, w in zip(frames, want):
+            assert [(d.class_id, round(d.score, 5)) for d in f] == \
+                   [(d.class_id, round(d.score, 5)) for d in w]
