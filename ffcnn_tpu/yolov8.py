@@ -309,3 +309,36 @@ def synthesize_state_dict(nc: int = 80, scale: str = "n",
                     0, 0.8, fn).astype(np.float32)
             sd[f"{prefix}.bias"] = bias
     return sd
+
+
+def candidates_fn(ir, size: int):
+    """The pure-v8 pre-NMS candidate program (letterbox → f32-HIGHEST
+    forward → decode_head_v8 → concat) as a jittable (params, images) →
+    NMS-input callable, in fixed grid order (no sorting, no NMS — the
+    tie-free comparison surface).  ONE copy shared by the oracle fuzz
+    (tests/test_random_graphs.py) and the cross-backend differential
+    (tools/v8_device_check.py) so both instruments validate the same
+    program.  Lives here — NOT in tests/ — because test modules import
+    conftest, which force-pins the CPU backend (that leak made the
+    device arm of the first r5d v8_device_check run silently measure
+    CPU-vs-CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .darknet.ir import LayerType
+    from .graph.build import forward_features
+    from .ops.preprocess import letterbox
+    from .ops.yolo import concat_heads, decode_head_v8
+
+    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLOV8]
+
+    def fn(p, im):
+        x = letterbox(im, size, size, jnp.zeros(3, jnp.float32),
+                      jnp.full(3, 1 / 255.0, jnp.float32),
+                      dtype=jnp.float32)
+        feats = forward_features(ir, p, x,
+                                 precision=jax.lax.Precision.HIGHEST)
+        return concat_heads([decode_head_v8(f, l, size, size)
+                             for f, l in zip(feats, heads_meta)])
+
+    return fn

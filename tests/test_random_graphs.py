@@ -133,30 +133,11 @@ def _gen_cfg(rng: np.random.RandomState, acts=ACTS,
 
 
 def v8_candidates_fn(ir, size):
-    """The pure-v8 pre-NMS candidate program (letterbox → f32-HIGHEST
-    forward → decode_head_v8 → concat), shared between the oracle fuzz
-    here and the device differential (tools/v8_device_check.py) so both
-    instruments validate the SAME program."""
-    import jax
-    import jax.numpy as jnp
-
-    from ffcnn_tpu.darknet.ir import LayerType
-    from ffcnn_tpu.ops.preprocess import letterbox
-    from ffcnn_tpu.ops.yolo import concat_heads, decode_head_v8
-    from ffcnn_tpu.graph.build import forward_features
-
-    heads_meta = [l for l in ir.layers if l.type == LayerType.YOLOV8]
-
-    def fn(p, im):
-        x = letterbox(im, size, size, jnp.zeros(3, jnp.float32),
-                      jnp.full(3, 1 / 255.0, jnp.float32),
-                      dtype=jnp.float32)
-        feats = forward_features(ir, p, x,
-                                 precision=jax.lax.Precision.HIGHEST)
-        return concat_heads([decode_head_v8(f, l, size, size)
-                             for f, l in zip(feats, heads_meta)])
-
-    return fn
+    """One shared pure-v8 candidate program — ffcnn_tpu.yolov8
+    .candidates_fn (the device differential uses the same; see its
+    docstring for why the single copy must NOT live in tests/)."""
+    from ffcnn_tpu.yolov8 import candidates_fn
+    return candidates_fn(ir, size)
 
 
 def _jax_candidates_v8(ir, params, img, size):

@@ -64,11 +64,11 @@ def run_arm(arm: str, out_npz: str) -> None:
     from ffcnn_tpu.darknet.weights import load_weights
     from ffcnn_tpu.graph.build import params_to_pytree
 
-    # ONE candidate program shared with the oracle fuzz
-    # (tests/test_random_graphs.py::v8_candidates_fn) — both
-    # differentials must validate the same pipeline.
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from test_random_graphs import v8_candidates_fn
+    # ONE candidate program shared with the oracle fuzz — imported from
+    # the PACKAGE, not tests/ (test modules import conftest, which
+    # force-pins the CPU backend; that leak made this arm's first r5d
+    # run silently measure CPU-vs-CPU).
+    from ffcnn_tpu.yolov8 import candidates_fn as v8_candidates_fn
 
     sd = yolov8.synthesize_state_dict(NC, SCALE, seed=0)
     cfg, weights = yolov8.convert(sd, NC, SCALE, size=SIZE, conf=0.25)
